@@ -9,8 +9,9 @@ run without a pod (standard JAX collectives-testing setup).
 
 import os
 
-# Force CPU: the environment may pin JAX_PLATFORMS to a TPU plugin, but the
-# correctness suite needs fp64 and a simulated multi-device mesh.
+# Force CPU: the environment may pin JAX_PLATFORMS to a TPU plugin (and a
+# sitecustomize hook may already have set jax_platforms programmatically),
+# but the correctness suite needs fp64 and a simulated multi-device mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,4 +19,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,94 @@
+"""GMRES tests (reference oracle: ``tests/gmres.cpp``).
+
+Manufactured solution with a nonsymmetric tridiagonal Toeplitz operator:
+y = A x_rand, solve A x = y with GMRES(5), maxit 100, rel tol 1e-10.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuddhelmholtz_tpu.solvers.gmres import gmres
+
+
+def toeplitz_matvec(x):
+    """Nonsymmetric tridiagonal Toeplitz: diag -3, sub 1.0, super 1.5."""
+    y = -3.0 * x
+    y = y.at[1:].add(1.0 * x[:-1])
+    y = y.at[:-1].add(1.5 * x[1:])
+    return y
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-10), (jnp.float32, 1e-5)])
+def test_gmres_manufactured(dtype, tol):
+    n = 512
+    rng = np.random.default_rng(42)
+    x_true = jnp.asarray(rng.standard_normal(n), dtype=dtype)
+    b = toeplitz_matvec(x_true)
+    out = gmres(toeplitz_matvec, b, m=5, maxit=100, tol=tol)
+    assert bool(out.success)
+    res = np.linalg.norm(toeplitz_matvec(out.x) - b) / np.linalg.norm(b)
+    assert res < tol * 1.01
+
+
+def test_gmres_exact_in_n_steps():
+    """Full GMRES(n) converges in one restart for a small dense system."""
+    n = 24
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((n, n)) + 4.0 * np.eye(n))
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = A @ x_true
+    out = gmres(lambda v: A @ v, b, m=n, maxit=2, tol=1e-12)
+    assert bool(out.success)
+    assert np.linalg.norm(out.x - x_true) < 1e-8
+
+
+def test_gmres_preconditioned():
+    """Jacobi-preconditioned solve of a scaled SPD system."""
+    n = 200
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(10.0 ** rng.uniform(0, 2, n))
+    matvec = lambda v: d * v + 0.1 * toeplitz_matvec(v)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = matvec(x_true)
+    pre = lambda v: v / d
+    out_p = gmres(matvec, b, m=30, maxit=50, tol=1e-10, precond=pre)
+    assert bool(out_p.success)
+    assert np.linalg.norm(out_p.x - x_true) / np.linalg.norm(x_true) < 1e-7
+
+
+def test_gmres_zero_initial_residual():
+    n = 50
+    b = jnp.zeros(n).at[0].set(1.0)
+    x0 = b / 2.0
+    out = gmres(lambda v: 2.0 * v, b, x0, m=5, maxit=10, tol=1e-12)
+    assert bool(out.success)
+    assert int(out.num_iter) == 0
+    assert int(out.num_matvec) == 1
+
+
+def test_gmres_history_monotone_tail():
+    n = 300
+    rng = np.random.default_rng(1)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = toeplitz_matvec(x_true)
+    out = gmres(toeplitz_matvec, b, m=10, maxit=60, tol=1e-10)
+    hist = np.asarray(out.res_norm)
+    k = int(out.n_hist)
+    assert np.isfinite(hist[:k]).all()
+    assert np.isnan(hist[k:]).all()
+    assert hist[k - 1] < 1e-10 * np.linalg.norm(np.asarray(b)) * 1.01
+
+
+def test_gmres_jit_compatible():
+    n = 128
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(n))
+
+    @jax.jit
+    def solve(b):
+        return gmres(toeplitz_matvec, b, m=8, maxit=50, tol=1e-9)
+
+    out = solve(b)
+    assert bool(out.success)
