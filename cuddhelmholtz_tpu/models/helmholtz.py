@@ -1,0 +1,135 @@
+"""Coupled real-imaginary Helmholtz operator and coefficient projection.
+
+Parity with the reference example layer (``/root/reference/examples/Helmholtz.hpp``
+and ``Helmholtz.cpp:190-218``): the bilinear form
+
+  a([u, v], phi) = [ (grad u, grad phi) - omega^2 (a^2 u, phi) - omega <a v, phi>;
+                   -((grad v, grad phi) - omega^2 (a^2 v, phi) + omega <a u, phi>) ]
+
+acting on U = [u; v] (U = u + i v), with first-order absorbing BCs expressed
+through the face mass term; the sign flip on the second block symmetrises the
+system.  Everything is a pure jittable function of U.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.face_mass import (
+    FaceMassOp,
+    apply_diag_inv_face_mass,
+    apply_face_mass,
+    make_diag_inv_face_mass_op,
+    make_face_mass_op,
+)
+from ..ops.functional import face_linear_functional, linear_functional
+from ..ops.mass import (
+    MassOp,
+    apply_diag_inv_mass,
+    apply_mass,
+    make_diag_inv_mass_op,
+    make_mass_op,
+)
+from ..ops.stiffness import StiffnessOp, apply_stiffness, make_stiffness_op
+from ..solvers.gmres import gmres
+from ..spaces.h1 import FaceSpace, H1Space
+from ..utils.quadrature import QuadratureRule
+
+
+class HelmholtzOp(NamedTuple):
+    """Data for the coupled (u, v) Helmholtz operator."""
+
+    stiffness: StiffnessOp
+    mass: MassOp  # weighted by a^2
+    face_mass: FaceMassOp  # weighted by a
+    face_proj: jax.Array  # (fdof,) global indices of face DOFs
+    omega: float
+    ndof: int
+
+
+def make_helmholtz_op(
+    omega: float,
+    a2_nodal: np.ndarray,
+    a_face_nodal: np.ndarray,
+    space: H1Space,
+    fs: FaceSpace,
+    dtype=jnp.float64,
+) -> HelmholtzOp:
+    return HelmholtzOp(
+        stiffness=make_stiffness_op(space, dtype=dtype),
+        mass=make_mass_op(space, coeff=a2_nodal, dtype=dtype),
+        face_mass=make_face_mass_op(fs, coeff=a_face_nodal, dtype=dtype),
+        face_proj=jnp.asarray(fs.proj),
+        omega=float(omega),
+        ndof=space.ndof,
+    )
+
+
+def apply_helmholtz(op: HelmholtzOp, U: jax.Array) -> jax.Array:
+    """Y = A U for U = [u; v] of length 2*ndof."""
+    n = op.ndof
+    u, v = U[:n], U[n:]
+    w2 = op.omega * op.omega
+
+    Su = apply_stiffness(op.stiffness, u) - w2 * apply_mass(op.mass, u)
+    Sv = apply_stiffness(op.stiffness, v) - w2 * apply_mass(op.mass, v)
+
+    Hu = apply_face_mass(op.face_mass, jnp.take(u, op.face_proj))
+    Hv = apply_face_mass(op.face_mass, jnp.take(v, op.face_proj))
+
+    Au = Su.at[op.face_proj].add(-op.omega * Hv)
+    Av = -(Sv.at[op.face_proj].add(op.omega * Hu))
+    return jnp.concatenate([Au, Av])
+
+
+def helmholtz_rhs(space: H1Space, f: Callable, dtype=jnp.float64) -> jax.Array:
+    """b = [(f, phi); 0] using the fast collocation functional."""
+    bu = linear_functional(space, f, dtype=dtype)
+    return jnp.concatenate([bu, jnp.zeros_like(bu)])
+
+
+def project_coefficients(
+    space: H1Space,
+    fs: FaceSpace,
+    a_fn: Callable,
+    dtype=jnp.float64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """L2-project a^2 onto the H1 space and a onto the face space.
+
+    Mirrors ``Helmholtz.cpp:190-218``: 2*nb-point Gauss-Legendre functionals,
+    mass solves with GMRES(5), <=10 restarts, tol 1e-12, diagonal
+    preconditioning.  Returns nodal numpy vectors.
+    """
+    nb = space.n_basis
+    quad = QuadratureRule(2 * nb, QuadratureRule.GaussLegendre)
+
+    b = linear_functional(space, lambda xy: a_fn(xy) ** 2, quad, dtype=dtype)
+    mass = make_mass_op(space, dtype=dtype)
+    pinv = make_diag_inv_mass_op(space, dtype=dtype)
+    out = gmres(
+        lambda x: apply_mass(mass, x),
+        b,
+        m=5,
+        maxit=10,
+        tol=1e-12,
+        precond=lambda x: apply_diag_inv_mass(pinv, x),
+    )
+    a2_nodal = np.asarray(out.x)
+
+    bf = face_linear_functional(fs, a_fn, quad, dtype=dtype)
+    fmass = make_face_mass_op(fs, dtype=dtype)
+    fpinv = make_diag_inv_face_mass_op(fs, dtype=dtype)
+    outf = gmres(
+        lambda x: apply_face_mass(fmass, x),
+        bf,
+        m=5,
+        maxit=10,
+        tol=1e-12,
+        precond=lambda x: apply_diag_inv_face_mass(fpinv, x),
+    )
+    a_face_nodal = np.asarray(outf.x)
+    return a2_nodal, a_face_nodal

@@ -127,7 +127,9 @@ def gmres(
 
     def restart_body(carry):
         x, r, r_nrm, it, nmv, hist = carry
-        V = jnp.zeros((m1, n), dtype=dtype).at[0].set(r / r_nrm)
+        V = jnp.zeros((m1, n), dtype=dtype).at[0].set(
+            r / jnp.where(r_nrm > 0.0, r_nrm, 1.0)
+        )
         Q = jnp.eye(m1, dtype=dtype)
         R = jnp.zeros((m, m), dtype=dtype)
         eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
@@ -152,19 +154,19 @@ def gmres(
 
     def cond(carry):
         _, _, r_nrm, it, _, _ = carry
-        return (r_nrm >= tol_bnrm) & (it < maxit - 1)
+        return (r_nrm >= tol_bnrm) & (r_nrm > 0.0) & (it < maxit - 1)
 
     init = (x0, r0, r0_nrm, jnp.asarray(0), jnp.asarray(1), hist0)
     x, r, r_nrm, it, nmv, hist = lax.while_loop(cond, restart_body, init)
     # one more restart if not converged (the reference's final iteration),
     # mirroring `for (it = 1; it < maxit; ++it)` executing maxit-1 restarts
     x, r, r_nrm, it, nmv, hist = lax.cond(
-        (r_nrm >= tol_bnrm) & (maxit > 1),
+        (r_nrm >= tol_bnrm) & (r_nrm > 0.0) & (maxit > 1),
         restart_body,
         lambda c: c,
         (x, r, r_nrm, it, nmv, hist),
     )
-    success = r_nrm < tol_bnrm
+    success = r_nrm <= tol_bnrm
     return GmresResult(
         x=x, success=success, num_iter=it, num_matvec=nmv, res_norm=hist, n_hist=it + 1
     )
