@@ -1,0 +1,213 @@
+"""Example drivers reproducing the reference's shipped configurations.
+
+Parity with ``/root/reference/examples/{Poisson,Helmholtz,DDH}.cpp``: same
+meshes, forcings, coefficients, solver budgets, and binary output formats
+(``xy.0000`` coordinates and raw float64 solution dumps readable with
+``numpy.fromfile``).  Each driver is a plain function so benchmarks and tests
+can run reduced configurations.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.io import to_file
+from ..mesh.mesh2d import Mesh2D
+from ..models.helmholtz import (
+    apply_helmholtz,
+    helmholtz_rhs,
+    make_helmholtz_op,
+    project_coefficients,
+)
+from ..models.poisson import solve_poisson
+from ..ops.functional import linear_functional
+from ..ops.mass import apply_diag_inv_mass, make_diag_inv_mass_op
+from ..solvers.ddh import DDH
+from ..solvers.gmres import gmres
+from ..spaces.h1 import FaceSpace, H1Space
+from ..utils.basis import Basis
+
+
+def point_sources(xy, omega):
+    """The reference's two-Gaussian forcing (Helmholtz.cpp:72-83)."""
+    s = omega * omega
+    x, y = xy[..., 0], xy[..., 1]
+    r1 = (x + 0.5) ** 2 + y**2
+    r2 = (x - 0.5) ** 2 + (y + 0.5) ** 2
+    return s / np.pi * (jnp.exp(-s * r1) + jnp.exp(-s * r2))
+
+
+def wave_speed_coeff(xy):
+    """a(x) = 1/c(x): 0.2 inside the r=0.25 disc (Helmholtz.cpp:85-94)."""
+    r = xy[..., 0] ** 2 + xy[..., 1] ** 2
+    return jnp.where(r < 0.0625, 0.2, 1.0)
+
+
+@dataclass
+class DriverResult:
+    solution: np.ndarray
+    coords: np.ndarray
+    res_norm: np.ndarray
+    num_iter: int
+    num_matvec: int
+    seconds: float
+    success: bool
+    extra: dict = field(default_factory=dict)
+
+
+def run_poisson(
+    nx: int = 15,
+    deg: int = 3,
+    m: int = 20,
+    maxit: int = 20,
+    tol: float = 1e-6,
+    dtype=jnp.float64,
+    out_dir: str | None = None,
+) -> DriverResult:
+    """The Poisson example (Poisson.cpp:84-177)."""
+    mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    fem = H1Space(mesh, Basis(deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+
+    def f(xy):
+        return jnp.ones(xy.shape[:-1])
+
+    def g(xy):
+        x, y = xy[..., 0], xy[..., 1]
+        right = jnp.abs(x - 1.0) < 1e-12
+        left = jnp.abs(x + 1.0) < 1e-12
+        return jnp.where(right, 1.0 - y * y, jnp.where(left, y * (1.0 - y * y), 0.0))
+
+    t0 = time.perf_counter()
+    u, out = solve_poisson(fem, fs, f, g, m=m, maxit=maxit, tol=tol, dtype=dtype)
+    u.block_until_ready()
+    dt = time.perf_counter() - t0
+    u = np.asarray(u)
+    if out_dir:
+        to_file(f"{out_dir}/xy.0000", fem.coords.T)
+        to_file(f"{out_dir}/poisson.0000", u)
+    return DriverResult(
+        solution=u,
+        coords=fem.coords,
+        res_norm=np.asarray(out.res_norm)[: int(out.n_hist)],
+        num_iter=int(out.num_iter),
+        num_matvec=int(out.num_matvec),
+        seconds=dt,
+        success=bool(out.success),
+    )
+
+
+def run_helmholtz(
+    nx: int = 128,
+    deg: int = 3,
+    m: int = 200,
+    maxit: int = 10_000,
+    tol: float = 1e-6,
+    dtype=jnp.float64,
+    mesh: Mesh2D | None = None,
+    out_dir: str | None = None,
+) -> DriverResult:
+    """The unpreconditioned coupled-Helmholtz example (Helmholtz.cpp:99-188)."""
+    omega = 2 * np.pi * nx / 10
+    if mesh is None:
+        mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    fem = H1Space(mesh, Basis(deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+
+    a2, af = project_coefficients(fem, fs, wave_speed_coeff, dtype=dtype)
+    op = make_helmholtz_op(omega, a2, af, fem, fs, dtype=dtype)
+    b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=dtype)
+
+    matvec = jax.jit(lambda U: apply_helmholtz(op, U))
+    t0 = time.perf_counter()
+    out = gmres(matvec, b, m=m, maxit=maxit, tol=tol)
+    out.x.block_until_ready()
+    dt = time.perf_counter() - t0
+    U = np.asarray(out.x)
+    if out_dir:
+        to_file(f"{out_dir}/xy.0000", fem.coords.T)
+        to_file(f"{out_dir}/helmholtz.0000", U)
+    return DriverResult(
+        solution=U,
+        coords=fem.coords,
+        res_norm=np.asarray(out.res_norm)[: int(out.n_hist)],
+        num_iter=int(out.num_iter),
+        num_matvec=int(out.num_matvec),
+        seconds=dt,
+        success=bool(out.success),
+        extra={"omega": omega, "ndof": fem.ndof},
+    )
+
+
+def run_ddh(
+    nx: int = 128,
+    deg: int = 3,
+    m: int = 20,
+    maxit: int = 100,
+    tol: float = 1e-4,
+    mesh: Mesh2D | None = None,
+    element_labels: np.ndarray | None = None,
+    out_dir: str | None = None,
+    wh_maxit: int = 5,
+) -> DriverResult:
+    """The DDH substructured-solver example (DDH.cpp:85-161).
+
+    With the default structured mesh this matches the reference config
+    (16x16-DOF subdomains); pass ``mesh`` + ``element_labels`` for
+    unstructured domain decompositions (which the reference cannot do).
+    """
+    omega = 2 * np.pi * nx / 10
+    if mesh is None:
+        mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    fem = H1Space(mesh, Basis(deg + 1))
+
+    # nodal interpolation of the coefficient (DDH.cpp:118-123)
+    b_a = linear_functional(fem, wave_speed_coeff)
+    mi = make_diag_inv_mass_op(fem)
+    a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a))
+
+    b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega))
+
+    t_setup = time.perf_counter()
+    if element_labels is None:
+        ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, wh_maxit=wh_maxit)
+    else:
+        ddh = DDH(
+            omega, a_nodal, fem, element_labels=element_labels, wh_maxit=wh_maxit
+        )
+    setup_s = time.perf_counter() - t_setup
+
+    bf = jnp.asarray(b, jnp.float32)
+    t0 = time.perf_counter()
+    Y = ddh.rhs(b)
+    out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
+    U = ddh.postprocess(out.x, b)
+    U.block_until_ready()
+    dt = time.perf_counter() - t0
+    U = np.asarray(U)
+    if out_dir:
+        to_file(f"{out_dir}/xy.0000", fem.coords.T)
+        to_file(f"{out_dir}/ddh.0000", U)
+    return DriverResult(
+        solution=U,
+        coords=fem.coords,
+        res_norm=np.asarray(out.res_norm)[: int(out.n_hist)],
+        num_iter=int(out.num_iter),
+        num_matvec=int(out.num_matvec),
+        seconds=dt,
+        success=bool(out.success),
+        extra={
+            "omega": omega,
+            "ndof": fem.ndof,
+            "n_lambda": ddh.size,
+            "n_domains": ddh.n_domains,
+            "nt": ddh.nt,
+            "setup_seconds": setup_s,
+            "ddh": ddh,
+        },
+    )
