@@ -1,0 +1,112 @@
+"""Benchmark: DDH-preconditioned Helmholtz solve at the reference config.
+
+Runs the flagship workload (examples/DDH.cpp config: 128x128 elements, deg 3,
+omega = 2*pi*12.8, fp32 substructured GMRES(20) to 1e-4) on the available
+accelerator and reports stencil-equivalent operator throughput:
+
+  nnz/s = (#stiffness applies) * sum_p ndof_p * (2*n_basis - 1)^2 / seconds
+
+(each WaveHoltz step applies the subdomain stiffness twice; this counts the
+matrix-free operator work the way BASELINE.json specifies).  The reference
+publishes no numbers (BASELINE.json "published": {}), so vs_baseline is
+reported as 1.0 and cross-round progress is tracked by `value`.
+
+Prints exactly one JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t_import = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    from cuddhelmholtz_tpu.mesh.mesh2d import Mesh2D
+    from cuddhelmholtz_tpu.models.helmholtz import helmholtz_rhs
+    from cuddhelmholtz_tpu.ops.functional import linear_functional
+    from cuddhelmholtz_tpu.ops.mass import apply_diag_inv_mass, make_diag_inv_mass_op
+    from cuddhelmholtz_tpu.solvers.ddh import DDH
+    from cuddhelmholtz_tpu.solvers.gmres import gmres
+    from cuddhelmholtz_tpu.spaces.h1 import H1Space
+    from cuddhelmholtz_tpu.utils.basis import Basis
+    from cuddhelmholtz_tpu.examples.drivers import point_sources, wave_speed_coeff
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} devices={jax.devices()}")
+
+    # reference DDH example config (examples/DDH.cpp:87-94)
+    nx, deg = (128, 3) if on_tpu else (32, 3)
+    m, maxit, tol = 20, 100, 1e-4
+    omega = 2 * np.pi * nx / 10
+
+    t0 = time.perf_counter()
+    mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    fem = H1Space(mesh, Basis(deg + 1))
+    # setup-time functionals run on the CPU backend: eager accelerator
+    # dispatch would trigger one compile per op shape
+    with jax.default_device(jax.devices("cpu")[0]):
+        b_a = linear_functional(fem, wave_speed_coeff, dtype=jnp.float32)
+        mi = make_diag_inv_mass_op(fem, dtype=jnp.float32)
+        a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a), dtype=np.float64)
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx)
+    log(
+        f"setup {time.perf_counter()-t0:.1f}s: ndof={fem.ndof} ndom={ddh.n_domains} "
+        f"n_lambda={ddh.size} nt={ddh.nt} pad={ddh.pad} shared_S={ddh.shared_S}"
+    )
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float32)
+    b = jax.device_put(np.asarray(b), jax.devices()[0])
+
+    def solve():
+        Y = ddh.rhs(b)
+        out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
+        U = ddh.postprocess(out.x, b)
+        U.block_until_ready()
+        return out, U
+
+    t0 = time.perf_counter()
+    out, U = solve()
+    warm = time.perf_counter() - t0
+    log(f"warm (compile+run) {warm:.2f}s; iters={int(out.num_iter)} "
+        f"matvecs={int(out.num_matvec)} success={bool(out.success)}")
+
+    t0 = time.perf_counter()
+    out, U = solve()
+    secs = time.perf_counter() - t0
+    hist = np.asarray(out.res_norm)[: int(out.n_hist)]
+    log(f"timed run {secs:.2f}s; residual history (first/last): {hist[0]:.3e} {hist[-1]:.3e}")
+
+    nb = deg + 1
+    sizes = ddh.efem.sizes.astype(np.int64)
+    stiffness_applies = int(out.num_matvec) * ddh.wh_maxit * ddh.nt * 2
+    nnz_per_apply = int(sizes.sum()) * (2 * nb - 1) ** 2
+    nnz_s = stiffness_applies * nnz_per_apply / secs
+    flops = int(out.num_matvec) * ddh.wh_maxit * ddh.nt * 2 * ddh.n_domains * ddh.pad**2 * 2
+    log(f"effective dense GFLOP/s: {flops/secs/1e9:.1f}; stencil nnz/s: {nnz_s:.3e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "ddh_operator_throughput",
+                "value": nnz_s,
+                "unit": "nnz/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

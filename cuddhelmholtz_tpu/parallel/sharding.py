@@ -1,0 +1,242 @@
+"""Multi-chip execution: shard elements and subdomains over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md section 2: no MPI/NCCL).  The
+TPU-native scaling story implemented here:
+
+  * **Operators (element parallel)**: elements are row-sharded over the mesh
+    axis; each chip gathers from a replicated global vector, applies its
+    element batch (MXU einsums), scatter-adds into a full-length local
+    accumulator, and a ``psum`` over ICI completes the CG assembly.  For the
+    problem sizes this framework targets (<= a few M DOF), the replicated
+    vector + psum-assembly layout is bandwidth-optimal on ICI and avoids halo
+    bookkeeping entirely.
+  * **DDH (subdomain parallel)**: subdomains are row-sharded; the lambda
+    (interface trace) vector is small (O(n_shared)) and kept replicated; each
+    chip runs the VMEM-resident wave cycle for its subdomain block and the
+    transmission updates are combined with a single small ``psum`` -- the
+    TPU analog of the reference's single-kernel-exit lambda exchange.
+  * GMRES dot products reduce with ``psum`` automatically because the Krylov
+    vectors here stay replicated (lambda system) while the expensive matvec
+    is subdomain-sharded.
+
+Everything is built on ``shard_map`` over an explicit ``jax.sharding.Mesh``;
+no code change is needed between 1 chip, 1 host, and multi-host meshes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.mass import MassOp
+from ..ops.stiffness import StiffnessOp, apply_stiffness
+from ..solvers.ddh import DDH, DDHParams, _forcing, _scatter_solution, _scatter_updates, _wave_cycle_xla
+
+
+def device_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _pad_rows(a: np.ndarray | jax.Array, rows: int):
+    if a.shape[0] == rows:
+        return a
+    pad = rows - a.shape[0]
+    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(jnp.asarray(a), widths)
+
+
+def shard_stiffness_op(op: StiffnessOp, mesh: Mesh, axis: str = "shard") -> StiffnessOp:
+    """Row-shard the element-batched arrays of a stiffness operator."""
+    n = mesh.shape[axis]
+    nel = op.dofs.shape[0]
+    nel_pad = ((nel + n - 1) // n) * n
+    sh = NamedSharding(mesh, P(axis))
+
+    def place(a):
+        a = _pad_rows(a, nel_pad)
+        return jax.device_put(a, sh)
+
+    # padded elements scatter into DOF slot `ndof` (dropped)
+    dofs = jnp.asarray(op.dofs)
+    if nel_pad != nel:
+        fill = jnp.full((nel_pad - nel,) + op.dofs.shape[1:], op.ndof, jnp.int32)
+        dofs = jnp.concatenate([dofs, fill])
+    return StiffnessOp(
+        dofs=jax.device_put(dofs, sh),
+        P=op.P,
+        D=op.D,
+        A=place(op.A),
+        B=place(op.B),
+        C=place(op.C),
+        ndof=op.ndof,
+    )
+
+
+def sharded_stiffness_apply(op: StiffnessOp, mesh: Mesh, axis: str = "shard"):
+    """Build a jittable y = S x with elements sharded over ``mesh``.
+
+    x and y are replicated; the per-chip partial assembly is combined with one
+    psum over ICI.
+    """
+
+    ndof = op.ndof
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+    )
+    def apply_fn(dofs, Pm, Dm, A, B, C, x):
+        xe = jnp.take(x, dofs, axis=0, mode="fill", fill_value=0.0)
+        tP = jnp.einsum("qi,eji->ejq", Pm, xe)
+        tD = jnp.einsum("qi,eji->ejq", Dm, xe)
+        ux = jnp.einsum("rj,ejq->erq", Pm, tD)
+        uy = jnp.einsum("rj,ejq->erq", Dm, tP)
+        fx = A * ux + B * uy
+        fy = B * ux + C * uy
+        sx = jnp.einsum("qi,erq->eri", Dm, fx)
+        sy = jnp.einsum("qi,erq->eri", Pm, fy)
+        ye = jnp.einsum("rj,eri->eji", Pm, sx) + jnp.einsum("rj,eri->eji", Dm, sy)
+        y = jnp.zeros(ndof + 1, x.dtype).at[dofs.reshape(-1)].add(
+            ye.reshape(-1), mode="drop"
+        )[:ndof]
+        return jax.lax.psum(y, axis)
+
+    return lambda sharded_op, x: apply_fn(
+        sharded_op.dofs, sharded_op.P, sharded_op.D, sharded_op.A, sharded_op.B,
+        sharded_op.C, x,
+    )
+
+
+class ShardedDDH:
+    """Subdomain-sharded DDH: same action/rhs/postprocess API as ``DDH``.
+
+    Pads the subdomain batch to a multiple of the mesh axis and row-shards
+    every (ndom, pad) table; lambda vectors stay replicated.
+    """
+
+    def __init__(self, ddh: DDH, mesh: Mesh, axis: str = "shard"):
+        self.mesh = mesh
+        self.axis = axis
+        self.inner = ddh
+        n = mesh.shape[axis]
+        p = ddh.params
+        ndom = p.gI.shape[0]
+        ndom_pad = ((ndom + n - 1) // n) * n
+        sh = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+
+        def place_rows(a, fill=0):
+            a = jnp.asarray(a)
+            if ndom_pad != ndom:
+                padw = [(0, ndom_pad - ndom)] + [(0, 0)] * (a.ndim - 1)
+                a = jnp.pad(a, padw, constant_values=fill)
+            return jax.device_put(a, sh)
+
+        per_dom_S = p.S.ndim == 3
+        self.params = DDHParams(
+            S=place_rows(p.S) if per_dom_S else jax.device_put(p.S, rep),
+            gI=place_rows(p.gI, fill=-1),
+            gmask=place_rows(p.gmask),
+            F_weight=place_rows(p.F_weight),
+            H_raw=place_rows(p.H_raw),
+            Ha=place_rows(p.Ha),
+            inv_mi=place_rows(p.inv_mi),
+            m_gmi=place_rows(p.m_gmi),
+            a2w=place_rows(p.a2w),
+            B0=place_rows(p.B0, fill=-1),
+            B1=place_rows(p.B1, fill=-1),
+            tables=jax.device_put(p.tables, rep),
+            K0=jax.device_put(p.K0, rep),
+            dt=jax.device_put(p.dt, rep),
+            omega=jax.device_put(p.omega, rep),
+        )
+        spec_S = P(axis) if per_dom_S else P()
+        self._param_spec = DDHParams(
+            S=spec_S,
+            gI=P(axis),
+            gmask=P(axis),
+            F_weight=P(axis),
+            H_raw=P(axis),
+            Ha=P(axis),
+            inv_mi=P(axis),
+            m_gmi=P(axis),
+            a2w=P(axis),
+            B0=P(axis),
+            B1=P(axis),
+            tables=P(),
+            K0=P(),
+            dt=P(),
+            omega=P(),
+        )
+        self.g_ndof = ddh.g_ndof
+        self.n_lambda = ddh.n_lambda
+        self.size = ddh.size
+        self.wh_maxit = ddh.wh_maxit
+
+        axis_ = axis
+        wh = ddh.wh_maxit
+        g_ndof = ddh.g_ndof
+        n_lambda = ddh.n_lambda
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(self._param_spec, P()),
+            out_specs=P(),
+        )
+        def _action(params, lam):
+            F, G, lam0, mu0 = _forcing(params, None, lam, 0)
+            u, v = _wave_cycle_xla(params, F, G, wh)
+            v = v / params.omega
+            upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
+            return lam - jax.lax.psum(upd, axis_)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(self._param_spec, P()),
+            out_specs=P(),
+        )
+        def _rhs(params, f):
+            F, G, lam0, mu0 = _forcing(params, f, None, g_ndof)
+            u, v = _wave_cycle_xla(params, F, G, wh)
+            v = v / params.omega
+            upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
+            return jax.lax.psum(upd, axis_)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(self._param_spec, P(), P()),
+            out_specs=P(),
+        )
+        def _post(params, lam, f):
+            F, G, _, _ = _forcing(params, f, lam, g_ndof)
+            u, v = _wave_cycle_xla(params, F, G, wh)
+            v = v / params.omega
+            y = _scatter_solution(params, u, v, g_ndof)
+            return jax.lax.psum(y, axis_)
+
+        self._action_fn = jax.jit(lambda lam: _action(self.params, lam))
+        self._rhs_fn = jax.jit(lambda f: _rhs(self.params, f))
+        self._post_fn = jax.jit(lambda lam, f: _post(self.params, lam, f))
+
+    def action(self, lam):
+        return self._action_fn(lam)
+
+    def rhs(self, f):
+        return self._rhs_fn(jnp.asarray(f, jnp.float32))
+
+    def postprocess(self, lam, f):
+        return self._post_fn(lam, jnp.asarray(f, jnp.float32))

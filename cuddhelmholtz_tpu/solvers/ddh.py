@@ -245,11 +245,18 @@ class DDH:
 
         S = _assemble_subdomain_stiffness(space, efem, local_dofs_perm, pad)
         # shared-matrix detection: uniform meshes give identical subdomain
-        # stiffness; one (pad, pad) matrix then feeds every batch row
-        self.shared_S = bool(
-            n_domains > 1
-            and all(np.array_equal(S[0], S[p]) for p in range(1, n_domains))
-        ) or n_domains == 1
+        # stiffness (up to fp64 ulps from mesh-coordinate rounding); one
+        # (pad, pad) matrix then feeds every batch row.  The compute path is
+        # fp32, so agreement below fp32 resolution counts as identical.
+        # Detection via two random matvec probes (O(ndom pad^2) instead of a
+        # full (ndom, pad, pad) broadcast compare).
+        scale = np.abs(S[0]).max() or 1.0
+        rng = np.random.default_rng(0)
+        probes = rng.standard_normal((pad, 2))
+        sp = S @ probes  # (ndom, pad, 2)
+        self.shared_S = n_domains == 1 or bool(
+            np.abs(sp - sp[0]).max() < 1e-6 * scale * np.abs(probes).max() * pad
+        )
         S_dev = S[0] if self.shared_S else S
 
         # embed the dual-trace tables at subspace slots via pI

@@ -116,7 +116,7 @@ def _lumped_global_solution(mesh, fem, omega, a_nodal, b):
         Av = -(apply_stiffness(stiff, v) - w2 * mlump * v + omega * Hba * u)
         return jnp.concatenate([Au, Av])
 
-    out = gmres(matvec, b, m=200, maxit=200, tol=1e-10)
+    out = gmres(matvec, b, m=120, maxit=150, tol=1e-6)
     assert bool(out.success)
     return np.asarray(out.x)
 
@@ -161,7 +161,7 @@ def test_ddh_mass_split_is_more_consistent(small_ddh):
     for split in ("full", "mass"):
         ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, rhs_split=split)
         Y = ddh.rhs(b)
-        out = gmres(ddh.action, Y, m=20, maxit=100, tol=1e-5)
+        out = gmres(ddh.action, Y, m=20, maxit=40, tol=1e-5)
         U = ddh.postprocess(out.x, b)
         rels[split] = np.linalg.norm(np.asarray(U) - xd) / np.linalg.norm(xd)
     assert rels["mass"] < rels["full"]
@@ -187,7 +187,7 @@ def test_ddh_two_domain_interface_exact():
     II, _ = np.meshgrid(i, i, indexing="ij")
     labels = (II // 4).T.reshape(-1)
     ddh = DDH(
-        omega, a_nodal, fem, element_labels=labels, wh_maxit=30, rhs_split="mass"
+        omega, a_nodal, fem, element_labels=labels, wh_maxit=12, rhs_split="mass"
     )
     Y = ddh.rhs(b)
     out = gmres(ddh.action, Y, m=20, maxit=100, tol=1e-6)

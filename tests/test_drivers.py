@@ -1,0 +1,62 @@
+"""End-to-end driver tests reproducing the reference example configs
+(reduced sizes where the full config is too slow for CI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cuddhelmholtz_tpu.examples.drivers import run_ddh, run_helmholtz, run_poisson
+from cuddhelmholtz_tpu.mesh.io import load_unstructured_square
+from cuddhelmholtz_tpu.spaces.ensemble import coordinate_bisection_labels
+
+
+def test_poisson_reference_config(tmp_path):
+    """The exact Poisson.cpp config: 15x15, deg 3, GMRES(20) tol 1e-6."""
+    res = run_poisson(nx=15, deg=3, m=20, maxit=20, tol=1e-6, out_dir=str(tmp_path))
+    assert res.success
+    assert res.num_iter <= 20
+    # boundary condition: u = g on x = +-1
+    xy = res.coords
+    right = np.abs(xy[:, 0] - 1) < 1e-12
+    g_right = 1.0 - xy[right, 1] ** 2
+    assert np.max(np.abs(res.solution[right] - g_right)) < 1e-6
+    # output files in the reference binary format
+    sol = np.fromfile(tmp_path / "poisson.0000")
+    # xy.0000 is the (2, ndof) array in column-major order: x,y interleaved
+    xyf = np.fromfile(tmp_path / "xy.0000").reshape(-1, 2)
+    assert sol.shape[0] == res.solution.shape[0]
+    assert np.allclose(sol, res.solution)
+    assert np.allclose(xyf, res.coords)
+
+
+def test_helmholtz_reduced_config():
+    """Reduced Helmholtz.cpp config (nx=12): coupled solve converges."""
+    res = run_helmholtz(nx=12, deg=3, m=200, maxit=100, tol=1e-6)
+    assert res.success
+    assert res.extra["ndof"] == (12 * 3 + 1) ** 2
+    n = res.extra["ndof"]
+    U = res.solution[:n] + 1j * res.solution[n:]
+    assert np.isfinite(U).all() and np.abs(U).max() > 0
+
+
+def test_ddh_structured_reduced():
+    """Reduced DDH.cpp config (nx=16, 16 subdomains)."""
+    res = run_ddh(nx=16, deg=3, m=20, maxit=60, tol=1e-3)
+    assert res.success
+    assert res.extra["n_domains"] == 16
+    hist = res.res_norm
+    assert hist[-1] < 1e-3 * np.linalg.norm(hist[0]) * 10  # decreasing history
+    assert np.isfinite(res.solution).all()
+
+
+def test_ddh_unstructured_bisection():
+    """DDH on the unstructured square via coordinate bisection -- a config
+    the reference cannot run (BASELINE.json config 4)."""
+    mesh = load_unstructured_square()
+    labels, ndom = coordinate_bisection_labels(mesh, 4)
+    res = run_ddh(nx=6, deg=3, m=20, maxit=60, tol=1e-3, mesh=mesh, element_labels=labels)
+    assert res.extra["n_domains"] == ndom
+    assert np.isfinite(res.solution).all()
+    hist = res.res_norm
+    assert hist[-1] < hist[0]
