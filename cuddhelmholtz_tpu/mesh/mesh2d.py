@@ -120,6 +120,15 @@ class Mesh2D:
     def _build_edges(self):
         nel = self.n_elem
         nv = len(self.vertices)
+
+        from .. import native
+
+        built = native.build_edges(self.elem_vertices, nv)
+        if built is not None:
+            (self.edge_vertices, self.edge_elements, self.edge_sides,
+             self.edge_delta) = built
+            self._finish_edges()
+            return
         # every (element, side) pair, in the reference's traversal order
         ev = self.elem_vertices
         c0 = ev[:, EDGE_V0]  # (nel, 4) start vertex of each side
@@ -171,18 +180,14 @@ class Mesh2D:
         self.edge_elements = edge_elements
         self.edge_sides = edge_sides
         self.edge_delta = edge_delta
-        self.edge_type = np.where(edge_elements[:, 1] >= 0, INTERIOR, BOUNDARY).astype(
-            np.int32
-        )
+        self._finish_edges()
+
+    def _finish_edges(self):
+        self.edge_type = np.where(
+            self.edge_elements[:, 1] >= 0, INTERIOR, BOUNDARY
+        ).astype(np.int32)
         self.boundary_edges = np.nonzero(self.edge_type == BOUNDARY)[0].astype(np.int32)
         self.interior_edges = np.nonzero(self.edge_type == INTERIOR)[0].astype(np.int32)
-
-        # node -> (element, corner) incidence in element-major order (the order
-        # determines which occurrence is "primary" for H1 DOF dedup)
-        flat_nodes = ev.ravel()
-        node_order = np.argsort(flat_nodes, kind="stable")
-        self._node_incidence_sorted = node_order  # indices into (nel*4) flat table
-        self._node_incidence_nodes = flat_nodes[node_order]
 
     # ---------------------------------------------------------------- queries
 

@@ -67,6 +67,22 @@ class H1Space:
         nel = mesh.n_elem
         N = nel * nb * nb
 
+        from .. import native
+
+        built = native.h1_numbering(
+            mesh.elem_vertices,
+            mesh.n_vertices,
+            mesh.edge_vertices,
+            mesh.edge_elements,
+            mesh.edge_sides,
+            mesh.edge_delta,
+            nb,
+        )
+        if built is not None:
+            self.dofs, self.ndof = built
+            self._set_coords()
+            return
+
         # primary[v] = flat volume index of the DOF v is identified with
         primary = np.arange(N, dtype=np.int64)
 
@@ -116,9 +132,10 @@ class H1Space:
         I = ids[primary]  # masked entries inherit their primary's id
         self.ndof = int(unmasked.sum())
         self.dofs = I.reshape(nel, nb, nb).astype(np.int32)
+        self._set_coords()
 
-        # --- nodal coordinates ---------------------------------------------
-        X = mesh.physical_coordinates(basis.nodes, basis.nodes)  # (nel, ix, iy, 2)
+    def _set_coords(self):
+        X = self.mesh.physical_coordinates(self.basis.nodes, self.basis.nodes)
         coords = np.zeros((self.ndof, 2), dtype=np.float64)
         coords[self.dofs.transpose(0, 2, 1).reshape(-1)] = X.reshape(-1, 2)
         self.coords = coords
