@@ -1,0 +1,73 @@
+"""Problem/solver configuration (replaces the reference's hardcoded main()s).
+
+SURVEY.md section 5 notes all reference problem parameters are compile-time
+constants in the drivers; BASELINE.json makes configs the benchmark matrix,
+so they are first-class dataclasses here.  ``BASELINE_CONFIGS`` mirrors the
+five BASELINE.json configurations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class GmresConfig:
+    m: int = 20
+    maxit: int = 100
+    tol: float = 1e-6
+
+
+@dataclass(frozen=True)
+class ProblemConfig:
+    name: str
+    kind: str  # "poisson" | "helmholtz" | "ddh"
+    nx: int = 128
+    deg: int = 3
+    mesh: str = "uniform_rect"  # or "unstructured_square"
+    gmres: GmresConfig = field(default_factory=GmresConfig)
+    wh_maxit: int = 5
+    rhs_split: str = "full"
+    n_domains: int | None = None  # for unstructured partitions
+
+    @property
+    def omega(self) -> float:
+        import numpy as np
+
+        return 2 * np.pi * self.nx / 10
+
+
+BASELINE_CONFIGS = (
+    ProblemConfig(
+        name="poisson_structured",
+        kind="poisson",
+        nx=15,
+        gmres=GmresConfig(m=20, maxit=20, tol=1e-6),
+    ),
+    ProblemConfig(
+        name="helmholtz_unpreconditioned",
+        kind="helmholtz",
+        nx=128,
+        gmres=GmresConfig(m=200, maxit=10_000, tol=1e-6),
+    ),
+    ProblemConfig(
+        name="ddh_structured",
+        kind="ddh",
+        nx=128,
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
+    ),
+    ProblemConfig(
+        name="ddh_unstructured_square",
+        kind="ddh",
+        nx=8,  # sets omega; geometry comes from the mesh file
+        mesh="unstructured_square",
+        n_domains=8,
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
+    ),
+    ProblemConfig(
+        name="ddh_high_frequency",
+        kind="ddh",
+        nx=256,  # omega = 2*pi*25.6
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
+    ),
+)

@@ -33,6 +33,18 @@ from ..spaces.h1 import FaceSpace, H1Space
 from ..utils.basis import Basis
 
 
+def _setup_scope():
+    """Run setup-time functionals on CPU: eager accelerator dispatch costs
+    one compile per op shape (slow on remote-compile TPU backends)."""
+    import contextlib
+
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpus[0])
+
+
 def point_sources(xy, omega):
     """The reference's two-Gaussian forcing (Helmholtz.cpp:72-83)."""
     s = omega * omega
@@ -119,9 +131,11 @@ def run_helmholtz(
     fem = H1Space(mesh, Basis(deg + 1))
     fs = FaceSpace(fem, mesh.boundary_edges)
 
-    a2, af = project_coefficients(fem, fs, wave_speed_coeff, dtype=dtype)
+    with _setup_scope():
+        a2, af = project_coefficients(fem, fs, wave_speed_coeff, dtype=dtype)
+        b = np.asarray(helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=dtype))
     op = make_helmholtz_op(omega, a2, af, fem, fs, dtype=dtype)
-    b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=dtype)
+    b = jnp.asarray(b)
 
     matvec = jax.jit(lambda U: apply_helmholtz(op, U))
     t0 = time.perf_counter()
@@ -167,11 +181,12 @@ def run_ddh(
     fem = H1Space(mesh, Basis(deg + 1))
 
     # nodal interpolation of the coefficient (DDH.cpp:118-123)
-    b_a = linear_functional(fem, wave_speed_coeff)
-    mi = make_diag_inv_mass_op(fem)
-    a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a))
-
-    b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega))
+    with _setup_scope():
+        b_a = linear_functional(fem, wave_speed_coeff)
+        mi = make_diag_inv_mass_op(fem)
+        a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a))
+        b = np.asarray(helmholtz_rhs(fem, lambda xy: point_sources(xy, omega)))
+    b = jnp.asarray(b)
 
     t_setup = time.perf_counter()
     if element_labels is None:
@@ -182,7 +197,6 @@ def run_ddh(
         )
     setup_s = time.perf_counter() - t_setup
 
-    bf = jnp.asarray(b, jnp.float32)
     t0 = time.perf_counter()
     Y = ddh.rhs(b)
     out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
