@@ -158,6 +158,7 @@ def gmres(
 
     init = (x0, r0, r0_nrm, jnp.asarray(0), jnp.asarray(1), hist0)
     x, r, r_nrm, it, nmv, hist = lax.while_loop(cond, restart_body, init)
+    # (host-observable variant with wall-clock cutoff: see gmres_host below)
     # one more restart if not converged (the reference's final iteration),
     # mirroring `for (it = 1; it < maxit; ++it)` executing maxit-1 restarts
     x, r, r_nrm, it, nmv, hist = lax.cond(
@@ -170,3 +171,101 @@ def gmres(
     return GmresResult(
         x=x, success=success, num_iter=it, num_matvec=nmv, res_norm=hist, n_hist=it + 1
     )
+
+
+def gmres_host(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    m: int = 20,
+    maxit: int = 100,
+    tol: float = 1e-6,
+    precond: Callable | None = None,
+    max_seconds: float = 6 * 60 * 60,
+    verbose: int = 0,
+) -> tuple[GmresResult, list]:
+    """Restarted GMRES with a host-side restart loop.
+
+    Same semantics as ``gmres`` plus the reference's observability features
+    (``gmres.hpp:33``, ``gmres.cpp:200-213``): a wall-clock cutoff checked
+    between restarts, optional per-restart progress printing, and a returned
+    per-restart wall-time list.  Each restart cycle is one jitted device
+    program; only the scalar residual syncs to the host per restart.
+    """
+    import time as _time
+
+    dtype = b.dtype
+    n = b.shape[0]
+    if precond is not None:
+        inner = lambda v: precond(matvec(v))
+        b = precond(b)
+    else:
+        inner = matvec
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+
+    tol = jnp.asarray(tol, dtype=dtype)
+    bnrm = jnp.linalg.norm(b)
+    tol_bnrm = float(tol * bnrm)
+    m1 = m + 1
+
+    @jax.jit
+    def restart(x, r, r_nrm):
+        V = jnp.zeros((m1, n), dtype=dtype).at[0].set(
+            r / jnp.where(r_nrm > 0.0, r_nrm, 1.0)
+        )
+        Q = jnp.eye(m1, dtype=dtype)
+        R = jnp.zeros((m, m), dtype=dtype)
+        eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
+
+        def step(k, args):
+            V, Q, R, eta, done, nmv = args
+            return _arnoldi_step(inner, V, Q, R, eta, k, tol_bnrm, done, nmv)
+
+        V, Q, R, eta, _, nmv = lax.fori_loop(
+            0, m, step, (V, Q, R, eta, jnp.asarray(False), jnp.asarray(0))
+        )
+        y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
+        x = x + V[:m].T @ y
+        r = b - inner(x)
+        return x, r, jnp.linalg.norm(r), nmv + 1
+
+    r = b - inner(x0)
+    x = x0
+    r_nrm = float(jnp.linalg.norm(r))
+    hist = [r_nrm]
+    times = [0.0]
+    nmv_total = 1
+    t0 = _time.perf_counter()
+    it = 0
+    success = r_nrm < tol_bnrm
+    while not success and it < maxit - 1:
+        x, r, r_nrm_dev, nmv = restart(x, r, jnp.asarray(r_nrm, dtype))
+        r_nrm = float(r_nrm_dev)
+        nmv_total += int(nmv)
+        it += 1
+        hist.append(r_nrm)
+        times.append(_time.perf_counter() - t0)
+        if verbose:
+            print(
+                f"iteration {it:6d} / {maxit} || rel. res. = "
+                f"{r_nrm / max(float(bnrm), 1e-300):.5e}",
+                flush=True,
+            )
+        success = r_nrm < tol_bnrm
+        if times[-1] > max_seconds:
+            break
+
+    res = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[: len(hist)].set(
+        jnp.asarray(hist, dtype)
+    )
+    result = GmresResult(
+        x=x,
+        success=jnp.asarray(success),
+        num_iter=jnp.asarray(it),
+        num_matvec=jnp.asarray(nmv_total),
+        res_norm=res,
+        n_hist=jnp.asarray(len(hist)),
+    )
+    return result, times

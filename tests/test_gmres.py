@@ -92,3 +92,32 @@ def test_gmres_jit_compatible():
 
     out = solve(b)
     assert bool(out.success)
+
+
+def test_gmres_host_matches_jitted():
+    from cuddhelmholtz_tpu.solvers.gmres import gmres_host
+
+    n = 400
+    rng = np.random.default_rng(11)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = toeplitz_matvec(x_true)
+    out = gmres(toeplitz_matvec, b, m=8, maxit=60, tol=1e-10)
+    out_h, times = gmres_host(toeplitz_matvec, b, m=8, maxit=60, tol=1e-10)
+    assert bool(out_h.success)
+    assert int(out_h.num_iter) == int(out.num_iter)
+    h1 = np.asarray(out.res_norm)[: int(out.n_hist)]
+    h2 = np.asarray(out_h.res_norm)[: int(out_h.n_hist)]
+    assert np.allclose(h1, h2, rtol=1e-10)
+    assert len(times) == int(out_h.n_hist)
+
+
+def test_gmres_host_wall_clock_cutoff():
+    from cuddhelmholtz_tpu.solvers.gmres import gmres_host
+
+    n = 400
+    rng = np.random.default_rng(12)
+    b = jnp.asarray(rng.standard_normal(n))
+    out_h, times = gmres_host(toeplitz_matvec, b, m=2, maxit=10_000, tol=1e-30,
+                              max_seconds=0.05)
+    assert not bool(out_h.success)
+    assert int(out_h.num_iter) < 10_000
