@@ -126,9 +126,15 @@ def run_helmholtz(
 ) -> DriverResult:
     """The unpreconditioned coupled-Helmholtz example (Helmholtz.cpp:99-188)."""
     omega = 2 * np.pi * nx / 10
+    grid = None
     if mesh is None:
         mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
-    fem = H1Space(mesh, Basis(deg + 1))
+        from ..ops.structured import GridH1Space
+
+        fem = GridH1Space(mesh, Basis(deg + 1), nx, nx)
+        grid = (nx, nx)
+    else:
+        fem = H1Space(mesh, Basis(deg + 1))
     fs = FaceSpace(fem, mesh.boundary_edges)
 
     with _setup_scope():
@@ -137,7 +143,7 @@ def run_helmholtz(
     op = make_helmholtz_op(omega, a2, af, fem, fs, dtype=dtype)
     b = jnp.asarray(b)
 
-    matvec = jax.jit(lambda U: apply_helmholtz(op, U))
+    matvec = jax.jit(lambda U: apply_helmholtz(op, U, grid=grid))
     t0 = time.perf_counter()
     out = gmres(matvec, b, m=m, maxit=maxit, tol=tol)
     out.x.block_until_ready()

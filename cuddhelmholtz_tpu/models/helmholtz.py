@@ -69,14 +69,27 @@ def make_helmholtz_op(
     )
 
 
-def apply_helmholtz(op: HelmholtzOp, U: jax.Array) -> jax.Array:
-    """Y = A U for U = [u; v] of length 2*ndof."""
+def apply_helmholtz(op: HelmholtzOp, U: jax.Array, grid: tuple | None = None) -> jax.Array:
+    """Y = A U for U = [u; v] of length 2*ndof.
+
+    Pass ``grid=(nx, ny)`` when the space is a GridH1Space to use the
+    strided-slice structured assembly (no arbitrary gathers on TPU).
+    """
     n = op.ndof
     u, v = U[:n], U[n:]
     w2 = op.omega * op.omega
 
-    Su = apply_stiffness(op.stiffness, u) - w2 * apply_mass(op.mass, u)
-    Sv = apply_stiffness(op.stiffness, v) - w2 * apply_mass(op.mass, v)
+    if grid is not None:
+        from ..ops.structured import apply_mass_structured, apply_stiffness_structured
+
+        S = lambda w: apply_stiffness_structured(op.stiffness, grid, w)
+        M = lambda w: apply_mass_structured(op.mass, grid, w)
+    else:
+        S = lambda w: apply_stiffness(op.stiffness, w)
+        M = lambda w: apply_mass(op.mass, w)
+
+    Su = S(u) - w2 * M(u)
+    Sv = S(v) - w2 * M(v)
 
     Hu = apply_face_mass(op.face_mass, jnp.take(u, op.face_proj))
     Hv = apply_face_mass(op.face_mass, jnp.take(v, op.face_proj))

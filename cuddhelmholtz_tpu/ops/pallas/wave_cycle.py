@@ -68,7 +68,7 @@ def _wave_kernel(nt, wh_maxit, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, m
 
 
 def wave_cycle_pallas(
-    params, F: jax.Array, G: jax.Array, wh_maxit: int = WH_MAXIT, block_domains: int = 256
+    params, F: jax.Array, G: jax.Array, wh_maxit: int = WH_MAXIT, block_domains: int = 512
 ):
     """Run the WaveHoltz cycle with subdomain state resident in VMEM.
 
