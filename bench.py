@@ -76,9 +76,42 @@ def main():
         U.block_until_ready()
         return out, U
 
+    # secondary diagnostic: global operator-apply throughput (structured path)
+    from cuddhelmholtz_tpu.ops.stiffness import make_stiffness_op
+    from cuddhelmholtz_tpu.ops.structured import (
+        GridH1Space,
+        apply_stiffness_structured,
+    )
+
+    gfem = GridH1Space(mesh, Basis(deg + 1), nx, nx)
+    sop = make_stiffness_op(gfem, dtype=jnp.float32)
+    xs = jax.device_put(
+        np.random.default_rng(0).standard_normal(gfem.ndof).astype(np.float32)
+    )
+    f_apply = jax.jit(lambda v: apply_stiffness_structured(sop, (nx, nx), v))
+    f_apply(xs).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(50):
+        y = f_apply(xs)
+    y.block_until_ready()
+    dt_apply = (time.perf_counter() - t0) / 50
+    nb = deg + 1
+    log(
+        f"stiffness apply (structured): {dt_apply*1e6:.0f} us, "
+        f"{gfem.ndof * (2*nb-1)**2 / dt_apply:.3e} nnz/s"
+    )
+
+    if os.environ.get("BENCH_PROFILE"):
+        import jax.profiler
+
+        jax.profiler.start_trace("/tmp/cuddh_trace")
+
     t0 = time.perf_counter()
     out, U = solve()
     warm = time.perf_counter() - t0
+    if os.environ.get("BENCH_PROFILE"):
+        jax.profiler.stop_trace()
+        log("profile trace written to /tmp/cuddh_trace")
     log(f"warm (compile+run) {warm:.2f}s; iters={int(out.num_iter)} "
         f"matvecs={int(out.num_matvec)} success={bool(out.success)}")
 
