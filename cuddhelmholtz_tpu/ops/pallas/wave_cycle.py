@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 WH_MAXIT = 5
 
 
-def _wave_kernel(nt, wh_maxit, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, mi_ref, u_ref, v_ref):
+def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, mi_ref, u_ref, v_ref):
     dt = scal_ref[0, 0]
     K0 = scal_ref[0, 1]
     half_dt = 0.5 * dt
@@ -38,21 +38,55 @@ def _wave_kernel(nt, wh_maxit, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, m
     Ha = Ha_ref[...]
     mi = mi_ref[...]
     S = S_ref[...]
+    db = F.shape[0]
 
-    def matS(p):
-        return jnp.dot(p, S, preferred_element_type=jnp.float32)
+    # Each step needs S @ p and S @ p_half; p_half = p - dt/2 q depends only
+    # on the incoming state, so both products run as ONE stacked matmul.
+    #
+    # Precision: the MXU multiplies in bf16.  One pass ("default") leaves a
+    # ~1e-3 relative noise floor over the 5 x nt x 2-step cycle, stalling the
+    # lambda-GMRES above the reference's fp32 1e-4 tolerance.  Mosaic has no
+    # HIGH lowering, so the 3-pass bf16 scheme (error-compensated split
+    # a@b ~= a1@b1 + a2@b1 + a1@b2, fp32-grade here) is built manually; it is
+    # 2x cheaper than HIGHEST (6 passes).
+    if precision == lax.Precision.HIGH:
+        S1 = S.astype(jnp.bfloat16)
+        S2 = (S - S1.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def matS_pair(p, ph):
+            P = jnp.concatenate([p, ph], axis=0)
+            P1 = P.astype(jnp.bfloat16)
+            P2 = (P - P1.astype(jnp.float32)).astype(jnp.bfloat16)
+            Za = jnp.dot(
+                jnp.concatenate([P1, P2], axis=0),
+                S1,
+                preferred_element_type=jnp.float32,
+            )
+            Zb = jnp.dot(P1, S2, preferred_element_type=jnp.float32)
+            Z = Za[: 2 * db] + Za[2 * db :] + Zb
+            return Z[:db], Z[db:]
+
+    else:
+
+        def matS_pair(p, ph):
+            Z = jnp.dot(
+                jnp.concatenate([p, ph], axis=0),
+                S,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            return Z[:db], Z[db:]
 
     def step(t, carry):
         p, q, u, v = carry
         row = tab_ref[t]
         cs0, sn0, cs1, sn1, Kt = row[0], row[1], row[2], row[3], row[4]
-        z = matS(p) - Ha * q
-        dq = (z + cs0 * F + sn0 * G) * mi
         p_half = p - half_dt * q
+        zp, zh = matS_pair(p, p_half)
+        dq = (zp - Ha * q + cs0 * F + sn0 * G) * mi
         q_half = q + half_dt * dq
         p2 = p - dt * q_half
-        z2 = matS(p_half) - Ha * q_half
-        dq2 = (z2 + cs1 * F + sn1 * G) * mi
+        dq2 = (zh - Ha * q_half + cs1 * F + sn1 * G) * mi
         q2 = q + dt * dq2
         return p2, q2, u + Kt * p2, v + Kt * q2
 
@@ -68,7 +102,12 @@ def _wave_kernel(nt, wh_maxit, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, m
 
 
 def wave_cycle_pallas(
-    params, F: jax.Array, G: jax.Array, wh_maxit: int = WH_MAXIT, block_domains: int = 512
+    params,
+    F: jax.Array,
+    G: jax.Array,
+    wh_maxit: int = WH_MAXIT,
+    block_domains: int = 512,
+    precision: str = "high",
 ):
     """Run the WaveHoltz cycle with subdomain state resident in VMEM.
 
@@ -79,7 +118,8 @@ def wave_cycle_pallas(
     if params.S.ndim != 2:
         from ...solvers.ddh import _wave_cycle_xla
 
-        return _wave_cycle_xla(params, F, G, wh_maxit)
+        return _wave_cycle_xla(params, F, G, wh_maxit, precision)
+    prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
 
     ndom, pad = F.shape
     nt = params.tables.shape[0]
@@ -103,7 +143,7 @@ def wave_cycle_pallas(
 
     flops = 2 * wh_maxit * nt * 2 * ndom_p * pad * pad
     u, v = pl.pallas_call(
-        functools.partial(_wave_kernel, nt, wh_maxit),
+        functools.partial(_wave_kernel, nt, wh_maxit, prec),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),

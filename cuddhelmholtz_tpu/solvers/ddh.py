@@ -43,6 +43,14 @@ from ..spaces.h1 import H1Space
 
 WH_MAXIT = 5  # fixed-point WaveHoltz iterations per apply (DDH.cpp:136)
 
+# Matmul passes for the wave-cycle stiffness apply.  The MXU multiplies in
+# bf16; "default" (1 pass) leaves a ~1e-3 relative noise floor after the
+# 5 x nt x 2 step cycle, which stalls the lambda-GMRES above the reference's
+# 1e-4 tolerance.  "high" (3 bf16 passes) restores the reference's fp32
+# convergence (measured: identical residual history to "highest"/fp64 down
+# to 1e-4) at half the cost of "highest" (6 passes, full fp32 emulation).
+PRECISION = "high"
+
 
 class DDHParams(NamedTuple):
     """Device data for the batched DDH apply (all (ndom, pad) unless noted)."""
@@ -138,6 +146,7 @@ class DDH:
         pad_multiple: int = 128,
         wh_maxit: int = WH_MAXIT,
         rhs_split: str = "full",
+        precision: str = PRECISION,
     ):
         nb = space.n_basis
         mesh = space.mesh
@@ -161,6 +170,7 @@ class DDH:
         self.n_lambda = 2 * efem.n_shared_dofs
         self.dtype = dtype
         self.wh_maxit = int(wh_maxit)
+        self.precision = precision
         if rhs_split not in ("full", "mass"):
             raise ValueError("rhs_split must be 'full' or 'mass'")
         self.rhs_split = rhs_split
@@ -305,7 +315,11 @@ class DDH:
     def action(self, lam: jax.Array) -> jax.Array:
         """y = lambda - S(lambda): the GMRES operator (DDH.cpp:611-639)."""
         return ddh_action(
-            self.params, lam, wh_maxit=self.wh_maxit, use_pallas=self._use_pallas()
+            self.params,
+            lam,
+            wh_maxit=self.wh_maxit,
+            use_pallas=self._use_pallas(),
+            precision=self.precision,
         )
 
     def rhs(self, f: jax.Array) -> jax.Array:
@@ -317,6 +331,7 @@ class DDH:
             self.n_lambda,
             wh_maxit=self.wh_maxit,
             use_pallas=self._use_pallas(),
+            precision=self.precision,
         )
 
     def postprocess(self, lam: jax.Array, f: jax.Array) -> jax.Array:
@@ -328,6 +343,7 @@ class DDH:
             self.g_ndof,
             wh_maxit=self.wh_maxit,
             use_pallas=self._use_pallas(),
+            precision=self.precision,
         )
 
     def _use_pallas(self) -> bool:
@@ -342,13 +358,17 @@ class DDH:
 # ---------------------------------------------------------------- pure kernels
 
 
-def _apply_S(S: jax.Array, p: jax.Array) -> jax.Array:
+def _apply_S(S: jax.Array, p: jax.Array, precision=PRECISION) -> jax.Array:
     """z = S p batched over subdomains (S shared (pad,pad) or per-domain)."""
     if S.ndim == 2:
         return jax.lax.dot_general(
-            p, S, (((1,), (1,)), ((), ())), preferred_element_type=p.dtype
+            p,
+            S,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=p.dtype,
+            precision=precision,
         )
-    return jnp.einsum("dij,dj->di", S, p)
+    return jnp.einsum("dij,dj->di", S, p, precision=precision)
 
 
 def _forcing(params: DDHParams, x, lam, g_ndof: int):
@@ -379,7 +399,9 @@ def _forcing(params: DDHParams, x, lam, g_ndof: int):
     return F, G, lam0, mu0
 
 
-def _wave_cycle_xla(params: DDHParams, F, G, wh_maxit: int = WH_MAXIT):
+def _wave_cycle_xla(
+    params: DDHParams, F, G, wh_maxit: int = WH_MAXIT, precision=PRECISION
+):
     """The wh_maxit x nt staggered-leapfrog WaveHoltz cycle (DDH.cpp:237-293)."""
     dt = params.dt
     half_dt = 0.5 * dt
@@ -388,12 +410,12 @@ def _wave_cycle_xla(params: DDHParams, F, G, wh_maxit: int = WH_MAXIT):
     def step(carry, row):
         p, q, u, v = carry
         cs0, sn0, cs1, sn1, Kt = row[0], row[1], row[2], row[3], row[4]
-        z = _apply_S(S, p) - Ha * q
+        z = _apply_S(S, p, precision) - Ha * q
         dq = (z + cs0 * F + sn0 * G) * inv_mi
         p_half = p - half_dt * q
         q_half = q + half_dt * dq
         p2 = p - dt * q_half
-        z2 = _apply_S(S, p_half) - Ha * q_half
+        z2 = _apply_S(S, p_half, precision) - Ha * q_half
         dq2 = (z2 + cs1 * F + sn1 * G) * inv_mi
         q2 = q + dt * dq2
         return (p2, q2, u + Kt * p2, v + Kt * q2), None
@@ -410,12 +432,14 @@ def _wave_cycle_xla(params: DDHParams, F, G, wh_maxit: int = WH_MAXIT):
     return u, v
 
 
-def _wave_cycle(params: DDHParams, F, G, wh_maxit: int, use_pallas: bool):
+def _wave_cycle(
+    params: DDHParams, F, G, wh_maxit: int, use_pallas: bool, precision=PRECISION
+):
     if use_pallas:
         from ..ops.pallas.wave_cycle import wave_cycle_pallas
 
-        return wave_cycle_pallas(params, F, G, wh_maxit=wh_maxit)
-    return _wave_cycle_xla(params, F, G, wh_maxit)
+        return wave_cycle_pallas(params, F, G, wh_maxit=wh_maxit, precision=precision)
+    return _wave_cycle_xla(params, F, G, wh_maxit, precision)
 
 
 def _scatter_updates(params: DDHParams, lam0, mu0, u, v, n_lambda: int):
@@ -445,23 +469,27 @@ def _scatter_solution(params: DDHParams, u, v, g_ndof: int):
     return jnp.concatenate([yu, yv])
 
 
-@partial(jax.jit, static_argnames=("wh_maxit", "use_pallas"))
+@partial(jax.jit, static_argnames=("wh_maxit", "use_pallas", "precision"))
 def ddh_action(
     params: DDHParams,
     lam: jax.Array,
     wh_maxit: int = WH_MAXIT,
     use_pallas: bool = False,
+    precision: str = PRECISION,
 ):
     """lambda - S(lambda): fixed-point form of the substructured system."""
     n_lambda = lam.shape[0] // 2
     F, G, lam0, mu0 = _forcing(params, None, lam, 0)
-    u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas)
+    u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas, precision)
     v = v / params.omega
     upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
     return lam - upd
 
 
-@partial(jax.jit, static_argnames=("g_ndof", "n_lambda", "wh_maxit", "use_pallas"))
+@partial(
+    jax.jit,
+    static_argnames=("g_ndof", "n_lambda", "wh_maxit", "use_pallas", "precision"),
+)
 def ddh_rhs(
     params: DDHParams,
     f: jax.Array,
@@ -469,15 +497,16 @@ def ddh_rhs(
     n_lambda: int,
     wh_maxit: int = WH_MAXIT,
     use_pallas: bool = False,
+    precision: str = PRECISION,
 ):
     """b: transmission traces generated by the volume forcing alone."""
     F, G, lam0, mu0 = _forcing(params, f, None, g_ndof)
-    u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas)
+    u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas, precision)
     v = v / params.omega
     return _scatter_updates(params, lam0, mu0, u, v, n_lambda)
 
 
-@partial(jax.jit, static_argnames=("g_ndof", "wh_maxit", "use_pallas"))
+@partial(jax.jit, static_argnames=("g_ndof", "wh_maxit", "use_pallas", "precision"))
 def ddh_postprocess(
     params: DDHParams,
     lam: jax.Array,
@@ -485,9 +514,10 @@ def ddh_postprocess(
     g_ndof: int,
     wh_maxit: int = WH_MAXIT,
     use_pallas: bool = False,
+    precision: str = PRECISION,
 ):
     """Recover [u; v] from the substructured solution and the forcing."""
     F, G, _, _ = _forcing(params, f, lam, g_ndof)
-    u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas)
+    u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas, precision)
     v = v / params.omega
     return _scatter_solution(params, u, v, g_ndof)
