@@ -18,6 +18,17 @@ Layer map (mirrors SURVEY.md section 1):
   examples/   drivers reproducing the reference configs (L6)
 """
 
+import jax as _jax
+
+# The reference's global operators are true fp64/fp32 (SURVEY.md section 1,
+# "precision split").  On TPU the MXU multiplies in bf16, and a 1-pass
+# default leaves a ~1e-3 relative noise floor that stalls GMRES well above
+# the reference tolerances (measured: Poisson stuck at 2.6e-1, Helmholtz at
+# 6.7e-2).  Default every matmul/einsum/dot to fp32-accurate passes; hot
+# paths that have been validated at cheaper precisions (kron applies, the
+# Pallas wave cycle's manual 3-pass split) override explicitly.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .mesh.io import load_mesh_dir, load_unstructured_square, to_file
 from .mesh.mesh2d import Mesh2D
 from .solvers.ddh import DDH

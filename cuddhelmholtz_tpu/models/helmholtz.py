@@ -34,6 +34,14 @@ from ..ops.mass import (
     make_diag_inv_mass_op,
     make_mass_op,
 )
+from ..ops.kron import (
+    KronMassOp,
+    KronStiffnessOp,
+    apply_mass_kron,
+    apply_stiffness_kron,
+    make_kron_mass_op,
+    make_kron_stiffness_op,
+)
 from ..ops.stiffness import StiffnessOp, apply_stiffness, make_stiffness_op
 from ..solvers.gmres import gmres
 from ..spaces.h1 import FaceSpace, H1Space
@@ -49,6 +57,8 @@ class HelmholtzOp(NamedTuple):
     face_proj: jax.Array  # (fdof,) global indices of face DOFs
     omega: float
     ndof: int
+    kron_stiffness: KronStiffnessOp | None = None
+    kron_mass: KronMassOp | None = None
 
 
 def make_helmholtz_op(
@@ -58,7 +68,18 @@ def make_helmholtz_op(
     space: H1Space,
     fs: FaceSpace,
     dtype=jnp.float64,
+    kron: bool | None = None,
 ) -> HelmholtzOp:
+    """``kron=None`` auto-enables the 1D-factorised dense-matmul fast path
+    (``ops/kron.py``) when ``space`` is a rectilinear ``GridH1Space``."""
+    from ..ops.structured import GridH1Space
+
+    if kron is None:
+        kron = isinstance(space, GridH1Space)
+    ks = km = None
+    if kron:
+        ks = make_kron_stiffness_op(space, dtype=dtype)
+        km = make_kron_mass_op(space, coeff=a2_nodal, dtype=dtype)
     return HelmholtzOp(
         stiffness=make_stiffness_op(space, dtype=dtype),
         mass=make_mass_op(space, coeff=a2_nodal, dtype=dtype),
@@ -66,6 +87,8 @@ def make_helmholtz_op(
         face_proj=jnp.asarray(fs.proj),
         omega=float(omega),
         ndof=space.ndof,
+        kron_stiffness=ks,
+        kron_mass=km,
     )
 
 
@@ -79,7 +102,10 @@ def apply_helmholtz(op: HelmholtzOp, U: jax.Array, grid: tuple | None = None) ->
     u, v = U[:n], U[n:]
     w2 = op.omega * op.omega
 
-    if grid is not None:
+    if op.kron_stiffness is not None:
+        S = lambda w: apply_stiffness_kron(op.kron_stiffness, w)
+        M = lambda w: apply_mass_kron(op.kron_mass, w)
+    elif grid is not None:
         from ..ops.structured import apply_mass_structured, apply_stiffness_structured
 
         S = lambda w: apply_stiffness_structured(op.stiffness, grid, w)
