@@ -76,28 +76,34 @@ def main():
         U.block_until_ready()
         return out, U
 
-    # secondary diagnostic: global operator-apply throughput (structured path)
-    from cuddhelmholtz_tpu.ops.stiffness import make_stiffness_op
-    from cuddhelmholtz_tpu.ops.structured import (
-        GridH1Space,
-        apply_stiffness_structured,
-    )
+    # secondary diagnostic: global operator-apply throughput (kron fast path,
+    # chained inside one jit so the per-dispatch tunnel latency is amortised
+    # the way GMRES amortises it inside its while_loop)
+    from cuddhelmholtz_tpu.ops.kron import apply_stiffness_kron, make_kron_stiffness_op
+    from cuddhelmholtz_tpu.ops.structured import GridH1Space
 
     gfem = GridH1Space(mesh, Basis(deg + 1), nx, nx)
-    sop = make_stiffness_op(gfem, dtype=jnp.float32)
+    kop = make_kron_stiffness_op(gfem, dtype=jnp.float32)
     xs = jax.device_put(
         np.random.default_rng(0).standard_normal(gfem.ndof).astype(np.float32)
     )
-    f_apply = jax.jit(lambda v: apply_stiffness_structured(sop, (nx, nx), v))
-    f_apply(xs).block_until_ready()
+    chain = 50
+
+    @jax.jit
+    def f_chain(v):
+        def body(i, w):
+            return apply_stiffness_kron(kop, w) / (1.0 + jnp.float32(i))
+        return jax.lax.fori_loop(0, chain, body, v)
+
+    f_chain(xs).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(50):
-        y = f_apply(xs)
+    for _ in range(5):
+        y = f_chain(xs)
     y.block_until_ready()
-    dt_apply = (time.perf_counter() - t0) / 50
+    dt_apply = (time.perf_counter() - t0) / 5 / chain
     nb = deg + 1
     log(
-        f"stiffness apply (structured): {dt_apply*1e6:.0f} us, "
+        f"stiffness apply (kron): {dt_apply*1e6:.0f} us, "
         f"{gfem.ndof * (2*nb-1)**2 / dt_apply:.3e} nnz/s"
     )
 

@@ -57,12 +57,21 @@ def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref
             P = jnp.concatenate([p, ph], axis=0)
             P1 = P.astype(jnp.bfloat16)
             P2 = (P - P1.astype(jnp.float32)).astype(jnp.bfloat16)
+            # precision must be explicit: operands are already bf16 (DEFAULT
+            # is exact) and Mosaic cannot lower the package-wide HIGHEST
+            # default for bf16 lhs/rhs
             Za = jnp.dot(
                 jnp.concatenate([P1, P2], axis=0),
                 S1,
                 preferred_element_type=jnp.float32,
+                precision=lax.Precision.DEFAULT,
             )
-            Zb = jnp.dot(P1, S2, preferred_element_type=jnp.float32)
+            Zb = jnp.dot(
+                P1,
+                S2,
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.DEFAULT,
+            )
             Z = Za[: 2 * db] + Za[2 * db :] + Zb
             return Z[:db], Z[db:]
 

@@ -78,14 +78,21 @@ def _pad_to(n: int, mult: int) -> int:
 
 def _assemble_subdomain_stiffness(
     space: H1Space, efem: EnsembleSpace, local_dofs_perm: np.ndarray, pad: int
-) -> np.ndarray:
-    """Dense (ndom, pad, pad) assembled stiffness from GLL-collocated factors.
+) -> tuple[np.ndarray, bool]:
+    """Dense assembled subdomain stiffness from GLL-collocated factors.
 
     Uses the same collocation as the reference DDH (GLL basis nodes, weights
     w_i w_j; ``DDH.cpp:15-58``), assembled into a dense symmetric matrix per
     subdomain instead of applied matrix-free per time step.
+
+    Returns ``(S, shared)``: ``S`` is one ``(pad, pad)`` matrix with
+    ``shared=True`` when every subdomain provably assembles the same matrix
+    (identical local numbering and element geometry, e.g. uniform meshes),
+    else the full ``(ndom, pad, pad)`` stack assembled by one vectorised
+    scatter-add (no Python loop over subdomains).
     """
     nb = space.n_basis
+    nb2 = nb * nb
     quad = space.basis.quadrature
     metrics = space.mesh.element_metrics(quad)
     J = metrics.jacobians  # (nel, ix, iy, a, b)
@@ -96,31 +103,78 @@ def _assemble_subdomain_stiffness(
     A = (w2 * (y_eta**2 + x_eta**2) / detj).transpose(0, 2, 1)  # (nel, iy, ix)
     B = (-w2 * (y_xi * y_eta + x_xi * x_eta) / detj).transpose(0, 2, 1)
     C = (w2 * (y_xi**2 + x_xi**2) / detj).transpose(0, 2, 1)
-
-    D = space.basis.derivative_matrix  # (nb, nb): D[q, i] = l_i'(x_q)
-
-    # element stiffness S_el[(l,k),(j,i)] by applying the collocated operator
-    # to the identity; layout [iy=l, ix=k] row-major
-    E = np.eye(nb * nb).reshape(nb * nb, nb, nb)  # basis inputs U_b[b, l, k]
-    Ux = np.einsum("qk,blk->blq", D, E)  # du/dxi  at (l, qx)
-    Uy = np.einsum("ql,blk->bqk", D, E)  # du/deta at (qy, k)
-    # per element: fx = A*Ux + B*Uy etc., then integrate
     nel = space.mesh.n_elem
-    S_el = np.empty((nel, nb * nb, nb * nb))
-    fx = A[:, None] * Ux[None] + B[:, None] * Uy[None]  # (nel, b, l, k)
-    fy = B[:, None] * Ux[None] + C[:, None] * Uy[None]
-    out = np.einsum("qk,eblq->eblk", D, fx) + np.einsum("ql,ebqk->eblk", D, fy)
-    S_el = out.reshape(nel, nb * nb, nb * nb).transpose(0, 2, 1)  # columns = b
+    # per-element factors flattened: the element stiffness is LINEAR in these
+    G = np.concatenate(
+        [A.reshape(nel, nb2), B.reshape(nel, nb2), C.reshape(nel, nb2)], axis=1
+    )  # (nel, 3 nb2)
+
+    Kb = _stiffness_factor_basis(space.basis.derivative_matrix)  # (3 nb2, nb2*nb2)
 
     ndom = efem.n_domains
-    S = np.zeros((ndom, pad, pad))
-    for p in range(ndom):
-        nelp = efem.n_elems[p]
-        for el in range(nelp):
-            g_el = efem.elems[p, el]
-            idx = local_dofs_perm[p, el].reshape(-1)  # (nb*nb,), [l, k] row-major
-            S[p][np.ix_(idx, idx)] += S_el[g_el]
-    return S
+    n_elems = efem.n_elems[:ndom]
+    mx = local_dofs_perm.shape[1]
+    idx = local_dofs_perm.reshape(ndom, mx, nb2)
+
+    ne0 = int(n_elems[0])
+    same_shape = bool(np.all(n_elems == ne0)) and bool(
+        np.all(idx[:, :ne0] == idx[0, :ne0])
+    )
+    if same_shape:
+        gels = efem.elems[:, :ne0]  # (ndom, ne0)
+        # identical geometric factors => identical element stiffness (linear)
+        shared = bool(
+            np.abs(G[gels] - G[gels[0]][None]).max()
+            <= 1e-12 * max(np.abs(G).max(), 1.0)
+        )
+        if shared:
+            S_el0 = (G[gels[0]] @ Kb).reshape(ne0, nb2, nb2)
+            S0 = np.zeros((pad, pad))
+            for el in range(ne0):
+                ix = idx[0, el]
+                S0[np.ix_(ix, ix)] += S_el0[el]
+            return S0, True
+
+    # general case: one matmul for all element matrices, then one flat
+    # scatter-add over all (domain, element) pairs
+    S_el = (G @ Kb).reshape(nel, nb2, nb2)
+    valid = np.arange(mx)[None, :] < n_elems[:, None]  # (ndom, mx)
+    gels = np.where(valid, efem.elems[:, :mx], 0)
+    vals = S_el[gels] * valid[:, :, None, None]  # (ndom, mx, nb2, nb2)
+    ix = np.where(valid[:, :, None], idx, 0)
+    rows = ix[:, :, :, None]
+    cols = ix[:, :, None, :]
+    dom = np.arange(ndom)[:, None, None, None]
+    flat = (dom * pad + rows) * pad + cols
+    S = np.zeros(ndom * pad * pad)
+    np.add.at(S, flat.reshape(-1), vals.reshape(-1))
+    return S.reshape(ndom, pad, pad), False
+
+
+def _stiffness_factor_basis(D: np.ndarray) -> np.ndarray:
+    """(3 nb2, nb2*nb2) matrix mapping collocated factors (A, B, C) to the
+    flattened element stiffness: ``S_el = [A B C].flat @ Kb``.
+
+    Built by pushing one-hot factor grids through the collocated operator
+    applied to the nodal identity (the quadrature IS the GLL node grid, so
+    interpolation is the identity and differentiation is D).
+    """
+    nb = D.shape[0]
+    nb2 = nb * nb
+    eye = np.eye(nb2).reshape(nb2, nb, nb)
+    E = eye  # basis inputs U_b[b, l, k]
+    Ux = np.einsum("qk,blk->blq", D, E)  # du/dxi  at (l, qx)
+    Uy = np.einsum("ql,blk->bqk", D, E)  # du/deta at (qy, k)
+    Z = np.zeros((nb2, nb, nb))
+    Af = np.concatenate([eye, Z, Z])  # one-hot factor grids (3 nb2, nb, nb)
+    Bf = np.concatenate([Z, eye, Z])
+    Cf = np.concatenate([Z, Z, eye])
+    fx = Af[:, None] * Ux[None] + Bf[:, None] * Uy[None]  # (3 nb2, b, l, q)
+    fy = Bf[:, None] * Ux[None] + Cf[:, None] * Uy[None]
+    out = np.einsum("qk,gblq->gblk", D, fx) + np.einsum("ql,gbqk->gblk", D, fy)
+    # rows = (l, k) test index, columns = b trial index (as in the reference
+    # collocated apply, DDH.cpp:60-109)
+    return out.reshape(3 * nb2, nb2, nb2).transpose(0, 2, 1).reshape(3 * nb2, -1)
 
 
 class DDH:
@@ -253,21 +307,25 @@ class DDH:
         with np.errstate(divide="ignore"):
             inv_mi = np.where(valid, 1.0 / (a_sub**2 * np.where(valid, m_sub, 1.0)), 0.0)
 
-        S = _assemble_subdomain_stiffness(space, efem, local_dofs_perm, pad)
-        # shared-matrix detection: uniform meshes give identical subdomain
-        # stiffness (up to fp64 ulps from mesh-coordinate rounding); one
-        # (pad, pad) matrix then feeds every batch row.  The compute path is
-        # fp32, so agreement below fp32 resolution counts as identical.
-        # Detection via two random matvec probes (O(ndom pad^2) instead of a
-        # full (ndom, pad, pad) broadcast compare).
-        scale = np.abs(S[0]).max() or 1.0
-        rng = np.random.default_rng(0)
-        probes = rng.standard_normal((pad, 2))
-        sp = S @ probes  # (ndom, pad, 2)
-        self.shared_S = n_domains == 1 or bool(
-            np.abs(sp - sp[0]).max() < 1e-6 * scale * np.abs(probes).max() * pad
-        )
-        S_dev = S[0] if self.shared_S else S
+        S, shared = _assemble_subdomain_stiffness(space, efem, local_dofs_perm, pad)
+        if shared or n_domains == 1:
+            # identical subdomains (uniform meshes): one (pad, pad) matrix
+            # feeds every batch row of the wave cycle
+            self.shared_S = True
+            S_dev = S if S.ndim == 2 else S[0]
+        else:
+            # the structural check missed; fall back to numeric detection via
+            # two random matvec probes (O(ndom pad^2) instead of a full
+            # (ndom, pad, pad) broadcast compare).  The compute path is fp32,
+            # so agreement below fp32 resolution counts as identical.
+            scale = np.abs(S[0]).max() or 1.0
+            rng = np.random.default_rng(0)
+            probes = rng.standard_normal((pad, 2))
+            sp = S @ probes  # (ndom, pad, 2)
+            self.shared_S = bool(
+                np.abs(sp - sp[0]).max() < 1e-6 * scale * np.abs(probes).max() * pad
+            )
+            S_dev = S[0] if self.shared_S else S
 
         # embed the dual-trace tables at subspace slots via pI
         B0 = np.full((n_domains, pad), -1, dtype=np.int32)
