@@ -69,10 +69,17 @@ def main():
         b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float32)
     b = jax.device_put(np.asarray(b), jax.devices()[0])
 
-    def solve():
+    # one jitted program for the whole solve: an eagerly-traced while_loop
+    # costs ~15% more per matvec (layout copies at the loop boundary)
+    @jax.jit
+    def solve_jit(b):
         Y = ddh.rhs(b)
         out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
         U = ddh.postprocess(out.x, b)
+        return out, U
+
+    def solve():
+        out, U = solve_jit(b)
         U.block_until_ready()
         return out, U
 

@@ -143,9 +143,10 @@ def run_helmholtz(
     op = make_helmholtz_op(omega, a2, af, fem, fs, dtype=dtype)
     b = jnp.asarray(b)
 
-    matvec = jax.jit(lambda U: apply_helmholtz(op, U, grid=grid))
+    matvec = lambda U: apply_helmholtz(op, U, grid=grid)
+    solve = jax.jit(lambda b: gmres(matvec, b, m=m, maxit=maxit, tol=tol))
     t0 = time.perf_counter()
-    out = gmres(matvec, b, m=m, maxit=maxit, tol=tol)
+    out = solve(b)
     out.x.block_until_ready()
     dt = time.perf_counter() - t0
     U = np.asarray(out.x)
@@ -203,10 +204,14 @@ def run_ddh(
         )
     setup_s = time.perf_counter() - t_setup
 
+    @jax.jit
+    def solve(b):
+        Y = ddh.rhs(b)
+        out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
+        return out, ddh.postprocess(out.x, b)
+
     t0 = time.perf_counter()
-    Y = ddh.rhs(b)
-    out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
-    U = ddh.postprocess(out.x, b)
+    out, U = solve(b)
     U.block_until_ready()
     dt = time.perf_counter() - t0
     U = np.asarray(U)
