@@ -39,7 +39,7 @@ class GmresResult(NamedTuple):
     n_hist: jax.Array  # number of valid entries in res_norm
 
 
-def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv):
+def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True):
     """One Arnoldi + Givens step; no-ops (other than carry) once ``done``."""
     dtype = V.dtype
     m1 = V.shape[0]
@@ -48,13 +48,18 @@ def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv):
         V, Q, R, eta, done, nmv = args
         w = matvec(V[k])
         nmv = nmv + 1
-        # CGS2: rows of V beyond the current k are zero, so the full matmul
-        # computes exactly the coefficients against v_0..v_k.
-        h1 = V @ w
-        w = w - V.T @ h1
-        h2 = V @ w
-        w = w - V.T @ h2
-        h = h1 + h2
+        # CGS(2): rows of V beyond the current k are zero, so the full matmul
+        # computes exactly the coefficients against v_0..v_k.  The second
+        # (re-orthogonalisation) pass costs two more reads of the (m+1, n)
+        # basis; skipping it (reorth=False) halves the orthogonalisation HBM
+        # traffic at a loss of orthogonality quality -- fine for
+        # well-conditioned systems, like the reference's single-pass scheme.
+        h = V @ w
+        w = w - V.T @ h
+        if reorth:
+            h2 = V @ w
+            w = w - V.T @ h2
+            h = h + h2
         hk1 = jnp.linalg.norm(w)
         breakdown = hk1 == 0.0
         vnew = jnp.where(breakdown, w, w / jnp.where(breakdown, 1.0, hk1))
@@ -99,6 +104,7 @@ def gmres(
     maxit: int = 100,
     tol: float = 1e-6,
     precond: Callable | None = None,
+    reorth: bool = True,
 ) -> GmresResult:
     """Solve A x = b with restarted GMRES(m).
 
@@ -136,7 +142,9 @@ def gmres(
 
         def inner(k, args):
             V, Q, R, eta, done, nmv = args
-            return _arnoldi_step(inner_matvec, V, Q, R, eta, k, tol_bnrm, done, nmv)
+            return _arnoldi_step(
+                inner_matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth
+            )
 
         V, Q, R, eta, _, nmv = lax.fori_loop(
             0, m, inner, (V, Q, R, eta, jnp.asarray(False), nmv)
@@ -184,6 +192,7 @@ def gmres_host(
     precond: Callable | None = None,
     max_seconds: float = 6 * 60 * 60,
     verbose: int = 0,
+    reorth: bool = True,
 ) -> tuple[GmresResult, list]:
     """Restarted GMRES with a host-side restart loop.
 
@@ -221,7 +230,7 @@ def gmres_host(
 
         def step(k, args):
             V, Q, R, eta, done, nmv = args
-            return _arnoldi_step(inner, V, Q, R, eta, k, tol_bnrm, done, nmv)
+            return _arnoldi_step(inner, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth)
 
         V, Q, R, eta, _, nmv = lax.fori_loop(
             0, m, step, (V, Q, R, eta, jnp.asarray(False), jnp.asarray(0))

@@ -121,3 +121,25 @@ def test_gmres_host_wall_clock_cutoff():
                               max_seconds=0.05)
     assert not bool(out_h.success)
     assert int(out_h.num_iter) < 10_000
+
+
+def test_gmres_single_pass_cgs():
+    """reorth=False (single-pass CGS, the reference's traffic profile) still
+    solves the manufactured Toeplitz system."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuddhelmholtz_tpu.solvers.gmres import gmres
+
+    n = 512
+    rng = np.random.default_rng(7)
+    x_true = jnp.asarray(rng.standard_normal(n))
+
+    def matvec(v):
+        return 2.0 * v - 0.4 * jnp.roll(v, 1) + 0.3 * jnp.roll(v, -1)
+
+    b = matvec(x_true)
+    out = gmres(matvec, b, m=5, maxit=100, tol=1e-10, reorth=False)
+    assert bool(out.success)
+    err = float(jnp.linalg.norm(out.x - x_true) / jnp.linalg.norm(x_true))
+    assert err < 1e-8
