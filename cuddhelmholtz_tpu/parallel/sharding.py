@@ -149,11 +149,12 @@ class ShardedDDH:
             gI=place_rows(p.gI, fill=-1),
             gmask=place_rows(p.gmask),
             F_weight=place_rows(p.F_weight),
-            H_raw=place_rows(p.H_raw),
             Ha=place_rows(p.Ha),
             inv_mi=place_rows(p.inv_mi),
             m_gmi=place_rows(p.m_gmi),
-            a2w=place_rows(p.a2w),
+            fslot=place_rows(p.fslot, fill=-1),
+            Hf=place_rows(p.Hf),
+            a2wf=place_rows(p.a2wf),
             B0=place_rows(p.B0, fill=-1),
             B1=place_rows(p.B1, fill=-1),
             tables=jax.device_put(p.tables, rep),
@@ -167,11 +168,12 @@ class ShardedDDH:
             gI=P(axis),
             gmask=P(axis),
             F_weight=P(axis),
-            H_raw=P(axis),
             Ha=P(axis),
             inv_mi=P(axis),
             m_gmi=P(axis),
-            a2w=P(axis),
+            fslot=P(axis),
+            Hf=P(axis),
+            a2wf=P(axis),
             B0=P(axis),
             B1=P(axis),
             tables=P(),

@@ -53,19 +53,27 @@ PRECISION = "high"
 
 
 class DDHParams(NamedTuple):
-    """Device data for the batched DDH apply (all (ndom, pad) unless noted)."""
+    """Device data for the batched DDH apply.
+
+    Subdomain state arrays are (ndom, pad).  The trace (lambda) exchange runs
+    on COMPACT (ndom, pf) arrays, pf = max face DOFs per subdomain: TPU
+    gathers/scatters cost ~linearly in indexed elements (measured ~9 ns/elem),
+    so indexing 4x fewer face slots instead of full pad slots saves several ms
+    per apply at the reference config.
+    """
 
     S: jax.Array  # (pad, pad) shared or (ndom, pad, pad) per-domain stiffness
     gI: jax.Array  # int32, -1 padded: subdomain slot -> global DOF
     gmask: jax.Array  # float, 1.0 where slot is a real DOF
     F_weight: jax.Array  # forcing gather weight (1, or m_p/m for "mass" split)
-    H_raw: jax.Array  # face mass (zero beyond face DOFs)
-    Ha: jax.Array  # a * H_raw (impedance damping)
+    Ha: jax.Array  # (ndom, pad) a * H (impedance damping)
     inv_mi: jax.Array  # 1 / (a^2 m) on valid slots, 0 on padding
     m_gmi: jax.Array  # m * (global lumped mass)^-1 partition-of-unity weight
-    a2w: jax.Array  # 2 a omega on face slots
-    B0: jax.Array  # int32: own lambda index per face slot (-1 none)
-    B1: jax.Array  # int32: dual lambda index per face slot (-1 none)
+    fslot: jax.Array  # (ndom, pf) int32: face-space dof -> pad slot (-1 pad)
+    Hf: jax.Array  # (ndom, pf) face mass at face slots (0 on padding)
+    a2wf: jax.Array  # (ndom, pf) 2 a omega at face slots
+    B0: jax.Array  # (ndom, pf) int32: own lambda index (-1 none)
+    B1: jax.Array  # (ndom, pf) int32: dual lambda index (-1 none)
     tables: jax.Array  # (nt, 5): cs_half0, sn_half0, cs_half1, sn_half1, K_t
     K0: jax.Array  # scalar: half-weighted filter at t=0
     dt: jax.Array
@@ -327,14 +335,19 @@ class DDH:
             )
             S_dev = S[0] if self.shared_S else S
 
-        # embed the dual-trace tables at subspace slots via pI
-        B0 = np.full((n_domains, pad), -1, dtype=np.int32)
-        B1 = np.full((n_domains, pad), -1, dtype=np.int32)
+        # compact trace-exchange tables over face-space DOFs (pf = mx_fdof):
+        # fslot embeds face dof j at its subspace slot pI[p, j]
+        fslot = np.full((n_domains, mx_fdof), -1, dtype=np.int32)
         for p in range(n_domains):
             fdof = efem.fsizes[p]
-            slots = efem.pI[p, :fdof]
-            B0[p, slots] = B[p, :fdof, 0]
-            B1[p, slots] = B[p, :fdof, 1]
+            fslot[p, :fdof] = efem.pI[p, :fdof]
+        fs_safe = np.maximum(fslot, 0)
+        Hf = np.where(fslot >= 0, np.take_along_axis(H_sub, fs_safe, axis=1), 0.0)
+        a2wf = np.where(
+            fslot >= 0,
+            2.0 * omega * np.take_along_axis(a_sub, fs_safe, axis=1),
+            0.0,
+        )
 
         # Forcing split across subdomains.  The reference feeds the FULL
         # global rhs row to every subdomain that touches it (DDH.cpp:209-212),
@@ -350,13 +363,14 @@ class DDH:
             gI=jnp.asarray(gI),
             gmask=jnp.asarray(valid, dtype=dtype),
             F_weight=jnp.asarray(F_weight, dtype=dtype),
-            H_raw=jnp.asarray(H_sub, dtype=dtype),
             Ha=jnp.asarray(H_sub * a_sub, dtype=dtype),
             inv_mi=jnp.asarray(inv_mi, dtype=dtype),
             m_gmi=jnp.asarray(m_sub * gmi_sub, dtype=dtype),
-            a2w=jnp.asarray(2.0 * a_sub * omega, dtype=dtype),
-            B0=jnp.asarray(B0),
-            B1=jnp.asarray(B1),
+            fslot=jnp.asarray(fslot),
+            Hf=jnp.asarray(Hf, dtype=dtype),
+            a2wf=jnp.asarray(a2wf, dtype=dtype),
+            B0=jnp.asarray(B[:, :, 0]),
+            B1=jnp.asarray(B[:, :, 1]),
             tables=jnp.asarray(tables, dtype=dtype),
             K0=jnp.asarray(filt[0], dtype=dtype),
             dt=jnp.asarray(dt, dtype=dtype),
@@ -432,8 +446,9 @@ def _apply_S(S: jax.Array, p: jax.Array, precision=PRECISION) -> jax.Array:
 def _forcing(params: DDHParams, x, lam, g_ndof: int):
     """Gather forcing and lambda traces into subdomain slots.
 
-    Returns F, G (ndom, pad) and the own-trace values lam0, mu0 used by the
-    transmission update.
+    Returns F, G (ndom, pad) and the COMPACT own-trace values lam0, mu0
+    ((ndom, pf), aligned with fslot/B0/B1) used by the transmission update.
+    All trace indexing runs on the compact face-slot arrays.
     """
     gI_safe = jnp.maximum(params.gI, 0)
     zero = jnp.zeros_like(params.gmask)
@@ -450,10 +465,20 @@ def _forcing(params: DDHParams, x, lam, g_ndof: int):
         has = params.B0 >= 0
         lam0 = jnp.where(has, lam_g[B0_safe], 0.0)
         mu0 = jnp.where(has, mu_g[B0_safe], 0.0)
-        F = F + params.H_raw * lam0
-        G = G + params.H_raw * mu0
+        # embed H*lam0 at the face slots; padded rows carry Hf == 0 so the
+        # clamped slot-0 adds are exact no-ops
+        ndom, pad = F.shape
+        fs = jnp.maximum(params.fslot, 0)
+        flat = (jnp.arange(ndom, dtype=jnp.int32)[:, None] * pad + fs).reshape(-1)
+        F = (
+            F.reshape(-1).at[flat].add((params.Hf * lam0).reshape(-1))
+        ).reshape(ndom, pad)
+        G = (
+            G.reshape(-1).at[flat].add((params.Hf * mu0).reshape(-1))
+        ).reshape(ndom, pad)
     else:
-        lam0, mu0 = zero, zero
+        lam0 = jnp.zeros_like(params.Hf)
+        mu0 = jnp.zeros_like(params.Hf)
     return F, G, lam0, mu0
 
 
@@ -501,11 +526,18 @@ def _wave_cycle(
 
 
 def _scatter_updates(params: DDHParams, lam0, mu0, u, v, n_lambda: int):
-    """Transmission update written to the dual trace slots (DDH.cpp:309-319)."""
+    """Transmission update written to the dual trace slots (DDH.cpp:309-319).
+
+    lam0/mu0 are compact (ndom, pf); u, v are full (ndom, pad) subdomain
+    state -- their face values are gathered through fslot.
+    """
+    fs = jnp.maximum(params.fslot, 0)
+    uf = jnp.take_along_axis(u, fs, axis=1)
+    vf = jnp.take_along_axis(v, fs, axis=1)
     has = params.B1 >= 0
     idx = jnp.where(has, params.B1, n_lambda)
-    lam_upd = -lam0 - params.a2w * v
-    mu_upd = -mu0 + params.a2w * u
+    lam_upd = -lam0 - params.a2wf * vf
+    mu_upd = -mu0 + params.a2wf * uf
     out_l = jnp.zeros(n_lambda + 1, dtype=u.dtype).at[idx.reshape(-1)].set(
         jnp.where(has, lam_upd, 0.0).reshape(-1), mode="drop"
     )[:n_lambda]
