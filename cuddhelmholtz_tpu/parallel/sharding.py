@@ -36,7 +36,14 @@ from jax import shard_map
 
 from ..ops.mass import MassOp
 from ..ops.stiffness import StiffnessOp, apply_stiffness
-from ..solvers.ddh import DDH, DDHParams, _forcing, _scatter_solution, _scatter_updates, _wave_cycle_xla
+from ..solvers.ddh import (
+    DDH,
+    DDHParams,
+    _forcing,
+    _scatter_solution,
+    _scatter_updates,
+    _wave_cycle,
+)
 
 
 def device_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
@@ -125,10 +132,20 @@ class ShardedDDH:
     every (ndom, pad) table; lambda vectors stay replicated.
     """
 
-    def __init__(self, ddh: DDH, mesh: Mesh, axis: str = "shard"):
+    def __init__(
+        self,
+        ddh: DDH,
+        mesh: Mesh,
+        axis: str = "shard",
+        use_pallas: bool | None = None,
+    ):
         self.mesh = mesh
         self.axis = axis
         self.inner = ddh
+        if use_pallas is None:
+            # per-shard Pallas wave cycle on TPU meshes; XLA scan elsewhere
+            use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
+        self.use_pallas = use_pallas
         n = mesh.shape[axis]
         p = ddh.params
         ndom = p.gI.shape[0]
@@ -190,16 +207,19 @@ class ShardedDDH:
         wh = ddh.wh_maxit
         g_ndof = ddh.g_ndof
         n_lambda = ddh.n_lambda
+        use_pallas_ = use_pallas
+        precision = ddh.precision
 
         @partial(
             shard_map,
             mesh=mesh,
             in_specs=(self._param_spec, P()),
             out_specs=P(),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
         )
         def _action(params, lam):
             F, G, lam0, mu0 = _forcing(params, None, lam, 0)
-            u, v = _wave_cycle_xla(params, F, G, wh)
+            u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
             return lam - jax.lax.psum(upd, axis_)
@@ -209,10 +229,11 @@ class ShardedDDH:
             mesh=mesh,
             in_specs=(self._param_spec, P()),
             out_specs=P(),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
         )
         def _rhs(params, f):
             F, G, lam0, mu0 = _forcing(params, f, None, g_ndof)
-            u, v = _wave_cycle_xla(params, F, G, wh)
+            u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
             return jax.lax.psum(upd, axis_)
@@ -222,10 +243,11 @@ class ShardedDDH:
             mesh=mesh,
             in_specs=(self._param_spec, P(), P()),
             out_specs=P(),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
         )
         def _post(params, lam, f):
             F, G, _, _ = _forcing(params, f, lam, g_ndof)
-            u, v = _wave_cycle_xla(params, F, G, wh)
+            u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             y = _scatter_solution(params, u, v, g_ndof)
             return jax.lax.psum(y, axis_)
