@@ -72,6 +72,47 @@ class DriverResult:
     extra: dict = field(default_factory=dict)
 
 
+def run_config(cfg, **overrides) -> DriverResult:
+    """Run a ``ProblemConfig`` (e.g. one of ``config.BASELINE_CONFIGS``).
+
+    ``overrides`` replace config fields (dataclasses.replace semantics), so
+    tests/benchmarks can downsize: ``run_config(cfg, nx=16)``.
+    """
+    import dataclasses
+
+    from ..mesh.io import load_unstructured_square
+    from ..spaces.ensemble import coordinate_bisection_labels
+
+    if overrides:
+        gm = {k: overrides.pop(k) for k in ("m", "maxit", "tol") if k in overrides}
+        if gm:
+            overrides["gmres"] = dataclasses.replace(cfg.gmres, **gm)
+        cfg = dataclasses.replace(cfg, **overrides)
+
+    g = cfg.gmres
+    if cfg.kind == "poisson":
+        return run_poisson(nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol)
+    if cfg.kind == "helmholtz":
+        mesh = load_unstructured_square() if cfg.mesh == "unstructured_square" else None
+        return run_helmholtz(
+            nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
+            dtype=jnp.float32, mesh=mesh,
+        )
+    if cfg.kind == "ddh":
+        if cfg.mesh == "unstructured_square":
+            mesh = load_unstructured_square()
+            labels, ndom = coordinate_bisection_labels(mesh, cfg.n_domains or 8)
+            return run_ddh(
+                nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
+                mesh=mesh, element_labels=labels, wh_maxit=cfg.wh_maxit,
+            )
+        return run_ddh(
+            nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
+            wh_maxit=cfg.wh_maxit,
+        )
+    raise ValueError(f"unknown config kind: {cfg.kind}")
+
+
 def run_poisson(
     nx: int = 15,
     deg: int = 3,
@@ -236,3 +277,43 @@ def run_ddh(
             "ddh": ddh,
         },
     )
+
+
+def main(argv=None):
+    """CLI: run a named BASELINE config.
+
+    python -m cuddhelmholtz_tpu.examples.drivers <name> [field=value ...]
+    """
+    import json
+    import sys
+
+    from ..config import BASELINE_CONFIGS
+
+    argv = sys.argv[1:] if argv is None else argv
+    by_name = {c.name: c for c in BASELINE_CONFIGS}
+    if not argv or argv[0] not in by_name:
+        print(f"usage: drivers <{'|'.join(by_name)}> [nx=..] [m=..] [maxit=..] [tol=..]")
+        return 1
+    cfg = by_name[argv[0]]
+    overrides = {}
+    for kv in argv[1:]:
+        k, v = kv.split("=", 1)
+        overrides[k] = float(v) if k == "tol" else int(v)
+    res = run_config(cfg, **overrides)
+    print(
+        json.dumps(
+            {
+                "config": cfg.name,
+                "success": bool(res.success),
+                "iters": int(res.num_iter),
+                "matvecs": int(res.num_matvec),
+                "seconds": res.seconds,
+                "final_rel_res": float(res.res_norm[-1] / res.res_norm[0]),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

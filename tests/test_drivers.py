@@ -60,3 +60,26 @@ def test_ddh_unstructured_bisection():
     assert np.isfinite(res.solution).all()
     hist = res.res_norm
     assert hist[-1] < hist[0]
+
+
+def test_run_config_dispatch():
+    """BASELINE_CONFIGS run (downsized) through the run_config dispatcher.
+
+    The solvers themselves are proven elsewhere (test_ddh_*, test_models);
+    this checks the dispatcher + override plumbing, so the DDH runs use tiny
+    budgets (wh_maxit=1, few restarts) and only sanity-check outputs.
+    """
+    import numpy as np
+
+    from cuddhelmholtz_tpu.config import BASELINE_CONFIGS
+    from cuddhelmholtz_tpu.examples.drivers import run_config
+
+    by_name = {c.name: c for c in BASELINE_CONFIGS}
+    r = run_config(by_name["poisson_structured"], nx=8)
+    assert r.success
+    r = run_config(by_name["ddh_structured"], nx=16, wh_maxit=1, maxit=3, tol=1e-3)
+    assert np.isfinite(r.res_norm).all() and r.num_matvec > 0
+    r = run_config(
+        by_name["ddh_unstructured_square"], n_domains=4, wh_maxit=1, maxit=3
+    )
+    assert np.isfinite(r.res_norm).all() and r.num_matvec > 0
