@@ -1,0 +1,120 @@
+"""Scaling harness: DDH matvec throughput over a growing device mesh.
+
+BASELINE.json's scaling protocol: operator-apply nnz/s at 1 chip / 1 host /
+N >= 2 hosts with >= 70% weak-scaling efficiency.  This harness runs the
+subdomain-sharded DDH apply (``parallel.ShardedDDH``) on meshes of
+1, 2, 4, ... devices and reports per-mesh matvec time and efficiency.
+
+* **Weak scaling** (default): the subdomain grid grows with the mesh
+  (nx = base_nx * sqrt(n_devices) rounded to a subdomain multiple), so each
+  device keeps ~constant work.
+* **Strong scaling** (--strong): fixed problem, more devices.
+
+On a real TPU pod slice this measures ICI-coupled throughput; on a single
+chip or a simulated CPU mesh (JAX_PLATFORMS=cpu +
+--xla_force_host_platform_device_count=N) it validates the sharded path and
+demonstrates the protocol (CPU timings are not hardware-representative).
+
+Usage:  python -m cuddhelmholtz_tpu.examples.scaling [--strong] [--cpu N] [base_nx]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def force_cpu_mesh(n_devices: int) -> None:
+    """Rebuild the backend as an n-device simulated CPU platform (env-var
+    overrides don't reach plain scripts when a TPU plugin owns the backend)."""
+    import jax
+
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except RuntimeError:
+        pass  # backends already initialised
+    if len(jax.devices()) < n_devices:
+        jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend as _xb
+
+        _xb.clear_backends()
+
+
+def scaling(base_nx: int = 32, strong: bool = False, deg: int = 3, reps: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from ..mesh.mesh2d import Mesh2D
+    from ..parallel.sharding import ShardedDDH, device_mesh
+    from ..solvers.ddh import DDH
+    from ..spaces.h1 import H1Space
+    from ..utils.basis import Basis
+
+    n_total = len(jax.devices())
+    sizes = []
+    n = 1
+    while n <= n_total:
+        sizes.append(n)
+        n *= 2
+
+    nb = deg + 1
+    epd = 16 // nb  # elements per subdomain side (reference DDH_BLOCK_SIZE=16)
+    records = []
+    base_per_dev = None
+    for nd in sizes:
+        if strong:
+            nx = base_nx
+        else:
+            # weak scaling: total subdomains ~ proportional to devices
+            nx = int(round(base_nx * np.sqrt(nd) / epd)) * epd
+        mesh2d = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+        fem = H1Space(mesh2d, Basis(nb))
+        omega = 2 * np.pi * nx / 10
+        ddh = DDH(omega, np.ones(fem.ndof), fem, nx=nx, ny=nx)
+        dmesh = device_mesh(nd)
+        sddh = ShardedDDH(ddh, dmesh)
+        lam = jnp.zeros(sddh.size, jnp.float32).at[0].set(1.0)
+        sddh.action(lam).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = sddh.action(lam)
+        y.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        nnz = (
+            ddh.wh_maxit
+            * ddh.nt
+            * 2
+            * int(ddh.efem.sizes.astype(np.int64).sum())
+            * (2 * nb - 1) ** 2
+        )
+        per_dev = nnz / dt / nd
+        if base_per_dev is None:
+            base_per_dev = per_dev
+        rec = {
+            "devices": nd,
+            "nx": nx,
+            "n_domains": ddh.n_domains,
+            "matvec_seconds": dt,
+            "nnz_per_s": nnz / dt,
+            "nnz_per_s_per_device": per_dev,
+            "efficiency_vs_1dev": per_dev / base_per_dev,
+        }
+        records.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+    return records
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:]]
+    strong = "--strong" in args
+    args = [a for a in args if a != "--strong"]
+    if "--cpu" in args:
+        i = args.index("--cpu")
+        force_cpu_mesh(int(args[i + 1]))
+        del args[i : i + 2]
+    base_nx = int(args[0]) if args else 32
+    out = scaling(base_nx=base_nx, strong=strong)
+    print(json.dumps(out))
