@@ -65,6 +65,16 @@ def main():
         f"n_lambda={ddh.size} nt={ddh.nt} pad={ddh.pad} shared_S={ddh.shared_S}"
     )
 
+    # precompute the per-subdomain trace-transfer (scattering) matrices: the
+    # wave cycle is linear in the traces, so each GMRES matvec becomes one
+    # batched (ndom, 2pf) @ (2pf, 2pf) matmul (identical algebra; validated in
+    # tests/test_ddh.py).  One-time cost ~ 2*pf equivalent matvecs.
+    if not os.environ.get("BENCH_NO_TRANSFER"):
+        t0 = time.perf_counter()
+        T = ddh.precompute_transfer()
+        T.block_until_ready()
+        log(f"transfer precompute {time.perf_counter()-t0:.1f}s: T {T.shape}")
+
     with jax.default_device(jax.devices("cpu")[0]):
         b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float32)
     b = jax.device_put(np.asarray(b), jax.devices()[0])

@@ -348,6 +348,11 @@ class DDH:
             2.0 * omega * np.take_along_axis(a_sub, fs_safe, axis=1),
             0.0,
         )
+        # host copies kept for the transfer-operator precompute
+        self._fslot_np = fslot
+        self._Hf_np = Hf
+        self.T: jax.Array | None = None
+        self.use_transfer = False
 
         # Forcing split across subdomains.  The reference feeds the FULL
         # global rhs row to every subdomain that touches it (DDH.cpp:209-212),
@@ -386,6 +391,8 @@ class DDH:
 
     def action(self, lam: jax.Array) -> jax.Array:
         """y = lambda - S(lambda): the GMRES operator (DDH.cpp:611-639)."""
+        if self.use_transfer and self.T is not None:
+            return ddh_action_transfer(self.params, self.T, lam)
         return ddh_action(
             self.params,
             lam,
@@ -393,6 +400,91 @@ class DDH:
             use_pallas=self._use_pallas(),
             precision=self.precision,
         )
+
+    def precompute_transfer(self, chunk: int | None = None) -> jax.Array:
+        """Precompute the dense per-subdomain trace-transfer (scattering) operator.
+
+        The WaveHoltz cycle is LINEAR in the incoming traces: for each
+        subdomain the map from its 2*pf compact trace inputs (lam0, mu0) to
+        its transmission outputs (a*2w*v_f, a*2w*u_f) is a fixed
+        (2pf, 2pf) matrix T_p.  Building T_p once -- 2*pf batched wave cycles,
+        done here by feeding one-hot trace columns through the production
+        cycle kernel -- turns every subsequent GMRES matvec from
+        ``wh_maxit*nt*2`` batched (ndom, pad) @ (pad, pad) matmuls into ONE
+        batched (ndom, 2pf) @ (2pf, 2pf) matmul.  This is the subdomain
+        scattering-matrix form of substructuring; it pays off whenever the
+        solve needs more than ~2*pf matvecs (the flagship config needs ~360)
+        or the preconditioner is reused across right-hand sides.
+
+        The reference re-integrates the wave equation per apply because a
+        CUDA block makes that cheap (DDH.cpp:111-321); on TPU the precomputed
+        dense form is the idiomatic choice (one large MXU matmul).
+        """
+        p = self.params
+        fslot, Hf = self._fslot_np, self._Hf_np
+        ndom, pf = fslot.shape
+        pad = self.pad
+        ncols = 2 * pf
+
+        # one-hot trace forcing columns: column k (< pf) puts Hf[d, k] at
+        # fslot[d, k] in F (the lam side); column pf + k does the same in G
+        # (the mu side).  Each column touches exactly one face DOF per
+        # domain, so set == the production path's add even at corner slots.
+        kk, dd = np.meshgrid(np.arange(pf), np.arange(ndom), indexing="ij")
+        sl = np.maximum(fslot, 0)
+        cols_F = np.zeros((pf, ndom, pad), np.float32)
+        cols_F[kk, dd, sl[dd, kk]] = Hf[dd, kk]
+
+        if chunk is None:
+            # bound the batched-cycle working set to ~128 MB of fp32 rows
+            chunk = int(max(1, min(ncols, (1 << 25) // max(1, ndom * pad))))
+        use_pallas = self._use_pallas()
+        wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
+
+        @jax.jit
+        def run_chunk(Fb, Gb):
+            c = Fb.shape[0]
+            p2 = p._replace(
+                Ha=jnp.tile(p.Ha, (c, 1)),
+                inv_mi=jnp.tile(p.inv_mi, (c, 1)),
+                S=p.S if p.S.ndim == 2 else jnp.tile(p.S, (c, 1, 1)),
+            )
+            u, v = _wave_cycle(
+                p2,
+                Fb.reshape(c * ndom, pad),
+                Gb.reshape(c * ndom, pad),
+                wh_maxit,
+                use_pallas,
+                precision,
+            )
+            u = u.reshape(c, ndom, pad)
+            v = v.reshape(c, ndom, pad) / omega
+            fs = jnp.maximum(p.fslot, 0)
+            uf = jnp.take_along_axis(u, jnp.broadcast_to(fs[None], (c, ndom, pf)), axis=2)
+            vf = jnp.take_along_axis(v, jnp.broadcast_to(fs[None], (c, ndom, pf)), axis=2)
+            return jnp.concatenate([p.a2wf[None] * vf, p.a2wf[None] * uf], axis=2)
+
+        zero = jnp.zeros((min(chunk, ncols), ndom, pad), jnp.float32)
+        outs = []
+        for k0 in range(0, ncols, chunk):
+            c = min(chunk, ncols - k0)
+            if k0 < pf:
+                # columns [k0, k0+c) may straddle the lam/mu boundary
+                f_rows = np.zeros((c, ndom, pad), np.float32)
+                g_rows = np.zeros((c, ndom, pad), np.float32)
+                n_lam = min(c, pf - k0)
+                f_rows[:n_lam] = cols_F[k0 : k0 + n_lam]
+                if n_lam < c:
+                    g_rows[n_lam:] = cols_F[0 : c - n_lam]
+                Fb, Gb = jnp.asarray(f_rows), jnp.asarray(g_rows)
+            else:
+                Fb = zero[:c]
+                Gb = jnp.asarray(cols_F[k0 - pf : k0 - pf + c])
+            outs.append(run_chunk(Fb, Gb))
+        T = jnp.concatenate(outs, axis=0)  # (2pf, ndom, 2pf): [col, dom, row]
+        self.T = jnp.transpose(T, (1, 2, 0)).astype(self.dtype)  # (ndom, row, col)
+        self.use_transfer = True
+        return self.T
 
     def rhs(self, f: jax.Array) -> jax.Array:
         """Substructured RHS from the Helmholtz forcing (DDH.cpp:641-667)."""
@@ -574,6 +666,38 @@ def ddh_action(
     v = v / params.omega
     upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
     return lam - upd
+
+
+@jax.jit
+def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array):
+    """lambda - S(lambda) via the precomputed per-subdomain transfer matrices.
+
+    Algebraically identical to ``ddh_action`` (the cycle is linear in the
+    traces); each apply is one batched (ndom, 2pf) @ (2pf, 2pf) matmul plus
+    the trace exchange, instead of wh_maxit*nt*2 stiffness matmuls.
+    """
+    n_lambda = lam.shape[0] // 2
+    pf = params.Hf.shape[1]
+    lam_g, mu_g = lam[:n_lambda], lam[n_lambda:]
+    B0_safe = jnp.maximum(params.B0, 0)
+    has = params.B0 >= 0
+    lam0 = jnp.where(has, lam_g[B0_safe], 0.0).astype(T.dtype)
+    mu0 = jnp.where(has, mu_g[B0_safe], 0.0).astype(T.dtype)
+    x = jnp.concatenate([lam0, mu0], axis=1)  # (ndom, 2pf)
+    # small matmul: keep true fp32 (the 3-pass bf16 trick is only needed for
+    # the long cycle; here "highest" costs microseconds)
+    w = jnp.einsum("dik,dk->di", T, x, precision="highest")
+    upd_l = -lam0 - w[:, :pf]
+    upd_m = -mu0 + w[:, pf:]
+    has1 = params.B1 >= 0
+    idx = jnp.where(has1, params.B1, n_lambda)
+    out_l = jnp.zeros(n_lambda + 1, dtype=lam.dtype).at[idx.reshape(-1)].set(
+        jnp.where(has1, upd_l, 0.0).reshape(-1).astype(lam.dtype), mode="drop"
+    )[:n_lambda]
+    out_m = jnp.zeros(n_lambda + 1, dtype=lam.dtype).at[idx.reshape(-1)].set(
+        jnp.where(has1, upd_m, 0.0).reshape(-1).astype(lam.dtype), mode="drop"
+    )[:n_lambda]
+    return lam - jnp.concatenate([out_l, out_m])
 
 
 @partial(

@@ -168,6 +168,38 @@ def test_ddh_mass_split_is_more_consistent(small_ddh):
     assert rels["mass"] < 0.09, rels
 
 
+def test_ddh_transfer_operator_matches_action(small_ddh):
+    """The precomputed per-subdomain scattering matrices reproduce the
+    wave-cycle action exactly (the cycle is linear in the traces), and the
+    substructured GMRES converges to the same solution through them."""
+    mesh, fem, omega, a_nodal, alpha, ddh = small_ddh
+    rng = np.random.default_rng(3)
+    lam = jnp.asarray(rng.standard_normal(ddh.size), jnp.float32)
+    y_direct = np.asarray(ddh.action(lam))
+    try:
+        ddh.precompute_transfer()
+        assert ddh.T.shape[0] == ddh.n_domains
+        y_t = np.asarray(ddh.action(lam))
+        err = np.linalg.norm(y_t - y_direct) / np.linalg.norm(y_direct)
+        assert err < 2e-5, err
+
+        def f(xy):
+            r = (xy[..., 0] + 0.5) ** 2 + xy[..., 1] ** 2
+            return jnp.exp(-(omega**2) * r)
+
+        b = helmholtz_rhs(fem, f)
+        Y = ddh.rhs(b)
+        out_t = gmres(ddh.action, Y, m=20, maxit=100, tol=1e-4)
+        assert bool(out_t.success)
+        ddh.use_transfer = False
+        out_d = gmres(ddh.action, Y, m=20, maxit=100, tol=1e-4)
+        xd, xt = np.asarray(out_d.x), np.asarray(out_t.x)
+        rel = np.linalg.norm(xt - xd) / np.linalg.norm(xd)
+        assert rel < 1e-3, rel
+    finally:
+        ddh.use_transfer = False
+
+
 def test_ddh_two_domain_interface_exact():
     """With two subdomains (no cross points) and the mass split, every row of
     the lumped global system is satisfied except the two interface-endpoint
