@@ -15,7 +15,13 @@ chip or a simulated CPU mesh (JAX_PLATFORMS=cpu +
 --xla_force_host_platform_device_count=N) it validates the sharded path and
 demonstrates the protocol (CPU timings are not hardware-representative).
 
-Usage:  python -m cuddhelmholtz_tpu.examples.scaling [--strong] [--cpu N] [base_nx]
+Usage:  python -m cuddhelmholtz_tpu.examples.scaling [--strong] [--transfer]
+        [--cpu N] [base_nx]
+
+``--transfer`` precomputes the per-subdomain trace-transfer matrices and
+shards those, so each matvec is one small per-chip matmul + psum (the
+production configuration; throughput is still reported in wave-cycle
+stencil-equivalent nnz/s, matching bench.py's effective metric).
 """
 
 from __future__ import annotations
@@ -43,7 +49,13 @@ def force_cpu_mesh(n_devices: int) -> None:
         _xb.clear_backends()
 
 
-def scaling(base_nx: int = 32, strong: bool = False, deg: int = 3, reps: int = 3):
+def scaling(
+    base_nx: int = 32,
+    strong: bool = False,
+    deg: int = 3,
+    reps: int = 3,
+    transfer: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -74,6 +86,8 @@ def scaling(base_nx: int = 32, strong: bool = False, deg: int = 3, reps: int = 3
         fem = H1Space(mesh2d, Basis(nb))
         omega = 2 * np.pi * nx / 10
         ddh = DDH(omega, np.ones(fem.ndof), fem, nx=nx, ny=nx)
+        if transfer:
+            ddh.precompute_transfer()
         dmesh = device_mesh(nd)
         sddh = ShardedDDH(ddh, dmesh)
         lam = jnp.zeros(sddh.size, jnp.float32).at[0].set(1.0)
@@ -110,11 +124,12 @@ def scaling(base_nx: int = 32, strong: bool = False, deg: int = 3, reps: int = 3
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     strong = "--strong" in args
-    args = [a for a in args if a != "--strong"]
+    transfer = "--transfer" in args
+    args = [a for a in args if a not in ("--strong", "--transfer")]
     if "--cpu" in args:
         i = args.index("--cpu")
         force_cpu_mesh(int(args[i + 1]))
         del args[i : i + 2]
     base_nx = int(args[0]) if args else 32
-    out = scaling(base_nx=base_nx, strong=strong)
+    out = scaling(base_nx=base_nx, strong=strong, transfer=transfer)
     print(json.dumps(out))

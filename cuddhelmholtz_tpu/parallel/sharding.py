@@ -42,6 +42,7 @@ from ..solvers.ddh import (
     _forcing,
     _scatter_solution,
     _scatter_updates,
+    _transfer_update,
     _wave_cycle,
 )
 
@@ -210,6 +211,12 @@ class ShardedDDH:
         use_pallas_ = use_pallas
         precision = ddh.precision
 
+        # row-shard the precomputed trace-transfer (scattering) matrices when
+        # the inner DDH has them: the lambda matvec is then one small batched
+        # matmul per chip + one psum, instead of a full wave cycle
+        self.T = place_rows(ddh.T) if ddh.use_transfer else None
+        self.use_transfer = self.T is not None
+
         @partial(
             shard_map,
             mesh=mesh,
@@ -222,6 +229,16 @@ class ShardedDDH:
             u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
+            return lam - jax.lax.psum(upd, axis_)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(self._param_spec, P(axis), P()),
+            out_specs=P(),
+        )
+        def _action_transfer(params, T, lam):
+            upd = _transfer_update(params, T, lam, n_lambda)
             return lam - jax.lax.psum(upd, axis_)
 
         @partial(
@@ -252,7 +269,12 @@ class ShardedDDH:
             y = _scatter_solution(params, u, v, g_ndof)
             return jax.lax.psum(y, axis_)
 
-        self._action_fn = jax.jit(lambda lam: _action(self.params, lam))
+        if self.use_transfer:
+            self._action_fn = jax.jit(
+                lambda lam: _action_transfer(self.params, self.T, lam)
+            )
+        else:
+            self._action_fn = jax.jit(lambda lam: _action(self.params, lam))
         self._rhs_fn = jax.jit(lambda f: _rhs(self.params, f))
         self._post_fn = jax.jit(lambda lam, f: _post(self.params, lam, f))
 

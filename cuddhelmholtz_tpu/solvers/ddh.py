@@ -668,15 +668,12 @@ def ddh_action(
     return lam - upd
 
 
-@jax.jit
-def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array):
-    """lambda - S(lambda) via the precomputed per-subdomain transfer matrices.
+def _transfer_update(params: DDHParams, T: jax.Array, lam: jax.Array, n_lambda: int):
+    """Transmission update S(lambda) via the per-subdomain transfer matrices.
 
-    Algebraically identical to ``ddh_action`` (the cycle is linear in the
-    traces); each apply is one batched (ndom, 2pf) @ (2pf, 2pf) matmul plus
-    the trace exchange, instead of wh_maxit*nt*2 stiffness matmuls.
+    Shared by the single-chip apply and the subdomain-sharded apply (where
+    params/T hold this chip's subdomain rows and the caller psums the result).
     """
-    n_lambda = lam.shape[0] // 2
     pf = params.Hf.shape[1]
     lam_g, mu_g = lam[:n_lambda], lam[n_lambda:]
     B0_safe = jnp.maximum(params.B0, 0)
@@ -697,7 +694,19 @@ def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array):
     out_m = jnp.zeros(n_lambda + 1, dtype=lam.dtype).at[idx.reshape(-1)].set(
         jnp.where(has1, upd_m, 0.0).reshape(-1).astype(lam.dtype), mode="drop"
     )[:n_lambda]
-    return lam - jnp.concatenate([out_l, out_m])
+    return jnp.concatenate([out_l, out_m])
+
+
+@jax.jit
+def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array):
+    """lambda - S(lambda) via the precomputed per-subdomain transfer matrices.
+
+    Algebraically identical to ``ddh_action`` (the cycle is linear in the
+    traces); each apply is one batched (ndom, 2pf) @ (2pf, 2pf) matmul plus
+    the trace exchange, instead of wh_maxit*nt*2 stiffness matmuls.
+    """
+    n_lambda = lam.shape[0] // 2
+    return lam - _transfer_update(params, T, lam, n_lambda)
 
 
 @partial(

@@ -72,6 +72,27 @@ def test_sharded_ddh_matches(mesh8):
     assert np.allclose(p1, p2, atol=1e-5)
 
 
+def test_sharded_ddh_transfer_action_matches(mesh8):
+    """Sharded transfer-matrix action == single-device wave-cycle action."""
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    a_nodal = np.ones(fem.ndof)
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8, wh_maxit=1)
+    rng = np.random.default_rng(3)
+    lam = jnp.asarray(rng.standard_normal(ddh.size), jnp.float32)
+    ddh.use_transfer = False
+    want = np.asarray(ddh.action(lam))
+
+    ddh.precompute_transfer()
+    sddh = ShardedDDH(ddh, mesh8)
+    assert sddh.use_transfer
+    got = np.asarray(sddh.action(lam))
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() < 1e-4 * scale
+
+
 def test_sharded_ddh_gmres_step(mesh8):
     """A full substructured GMRES solve through the sharded action."""
     nx, deg = 8, 3
