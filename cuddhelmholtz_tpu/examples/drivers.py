@@ -216,12 +216,16 @@ def run_ddh(
     element_labels: np.ndarray | None = None,
     out_dir: str | None = None,
     wh_maxit: int = 5,
+    transfer: bool = False,
 ) -> DriverResult:
     """The DDH substructured-solver example (DDH.cpp:85-161).
 
     With the default structured mesh this matches the reference config
     (16x16-DOF subdomains); pass ``mesh`` + ``element_labels`` for
     unstructured domain decompositions (which the reference cannot do).
+    ``transfer=True`` precomputes the per-subdomain trace-transfer matrices
+    (pays ~2*pf wave cycles up front; each GMRES matvec is then one small
+    batched matmul -- the right trade above ~2*pf matvecs).
     """
     omega = 2 * np.pi * nx / 10
     if mesh is None:
@@ -243,6 +247,8 @@ def run_ddh(
         ddh = DDH(
             omega, a_nodal, fem, element_labels=element_labels, wh_maxit=wh_maxit
         )
+    if transfer:
+        ddh.precompute_transfer()
     setup_s = time.perf_counter() - t_setup
 
     @jax.jit

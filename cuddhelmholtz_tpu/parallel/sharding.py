@@ -210,6 +210,15 @@ class ShardedDDH:
         n_lambda = ddh.n_lambda
         use_pallas_ = use_pallas
         precision = ddh.precision
+        n_own = ddh.n_own
+        pf = ddh.params.Hf.shape[1]
+        ndom_local = ndom_pad // n
+        n_own_pad = ndom_pad * pf
+
+        def _offset():
+            # this chip's first subdomain row (own-slot lambda ids are
+            # contiguous per row, so the trace read is one dynamic slice)
+            return jax.lax.axis_index(axis_) * ndom_local
 
         # row-shard the precomputed trace-transfer (scattering) matrices when
         # the inner DDH has them: the lambda matvec is then one small batched
@@ -225,7 +234,9 @@ class ShardedDDH:
             check_vma=False,  # pallas_call outputs carry no vma annotations
         )
         def _action(params, lam):
-            F, G, lam0, mu0 = _forcing(params, None, lam, 0)
+            F, G, lam0, mu0 = _forcing(
+                params, None, lam, 0, n_own, n_own_pad, _offset()
+            )
             u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
@@ -238,7 +249,9 @@ class ShardedDDH:
             out_specs=P(),
         )
         def _action_transfer(params, T, lam):
-            upd = _transfer_update(params, T, lam, n_lambda)
+            upd = _transfer_update(
+                params, T, lam, n_lambda, n_own, n_own_pad, _offset()
+            )
             return lam - jax.lax.psum(upd, axis_)
 
         @partial(
@@ -263,7 +276,7 @@ class ShardedDDH:
             check_vma=False,  # pallas_call outputs carry no vma annotations
         )
         def _post(params, lam, f):
-            F, G, _, _ = _forcing(params, f, lam, g_ndof)
+            F, G, _, _ = _forcing(params, f, lam, g_ndof, n_own, n_own_pad, _offset())
             u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             y = _scatter_solution(params, u, v, g_ndof)

@@ -72,8 +72,8 @@ class DDHParams(NamedTuple):
     fslot: jax.Array  # (ndom, pf) int32: face-space dof -> pad slot (-1 pad)
     Hf: jax.Array  # (ndom, pf) face mass at face slots (0 on padding)
     a2wf: jax.Array  # (ndom, pf) 2 a omega at face slots
-    B0: jax.Array  # (ndom, pf) int32: own lambda index (-1 none)
-    B1: jax.Array  # (ndom, pf) int32: dual lambda index (-1 none)
+    B0: jax.Array  # (ndom, pf) int32: own lambda id == d*pf + k (-1 none/lost)
+    B1: jax.Array  # (ndom, pf) int32: dual lambda id, own-slot layout (-1 none)
     tables: jax.Array  # (nt, 5): cs_half0, sn_half0, cs_half1, sn_half1, K_t
     K0: jax.Array  # scalar: half-weighted filter at t=0
     dt: jax.Array
@@ -229,7 +229,7 @@ class DDH:
         self.omega = float(omega)
         self.g_ndof = space.ndof
         self.n_domains = n_domains
-        self.n_lambda = 2 * efem.n_shared_dofs
+        # set below: own-slot layout sizes (n_lambda = n_own + n_lost)
         self.dtype = dtype
         self.wh_maxit = int(wh_maxit)
         self.precision = precision
@@ -267,6 +267,31 @@ class DDH:
         B[cm[:, 0], cm[:, 2], 1] = n_shared + np.arange(n_shared)
         B[cm[:, 1], cm[:, 3], 0] = n_shared + np.arange(n_shared)
         B[cm[:, 1], cm[:, 3], 1] = np.arange(n_shared)
+
+        # --- own-slot lambda layout --------------------------------------
+        # Renumber the 2*n_shared trace unknowns so that a surviving lambda's
+        # id IS its compact face-slot position (d*pf + k): reading the own
+        # traces is then a plain reshape of the lambda vector instead of a
+        # ~n_lambda-element gather (measured ~0.7 ms/apply at the flagship
+        # config, the single largest matvec cost).  Ids overwritten in B0 at
+        # subdomain-corner slots (the reference's last-write-wins B-table
+        # semantics, DDH.cpp:408-440) are appended as a tail: they are
+        # written by duals but never read, exactly as in the original
+        # numbering.  Invalid slots become decoupled always-zero coordinates
+        # (zero rhs, identity action), so GMRES trajectories are preserved
+        # up to fp reduction order.
+        own = B[:, :, 0].reshape(-1)
+        validslot = own >= 0
+        n_own = n_domains * mx_fdof
+        newid = np.full(2 * n_shared, -1, dtype=np.int64)
+        newid[own[validslot]] = np.nonzero(validslot)[0]
+        lost = np.nonzero(newid < 0)[0]
+        newid[lost] = n_own + np.arange(lost.size)
+        self.n_own = n_own
+        self.n_lost = int(lost.size)
+        self.n_lambda = n_own + self.n_lost
+        if n_shared > 0:
+            B = np.where(B >= 0, newid[np.maximum(B, 0)], -1).astype(np.int32)
 
         # --- DOF layout ------------------------------------------------------
         # The reference permutes each subdomain's DOFs face-first so face data
@@ -392,10 +417,11 @@ class DDH:
     def action(self, lam: jax.Array) -> jax.Array:
         """y = lambda - S(lambda): the GMRES operator (DDH.cpp:611-639)."""
         if self.use_transfer and self.T is not None:
-            return ddh_action_transfer(self.params, self.T, lam)
+            return ddh_action_transfer(self.params, self.T, lam, self.n_own)
         return ddh_action(
             self.params,
             lam,
+            n_own=self.n_own,
             wh_maxit=self.wh_maxit,
             use_pallas=self._use_pallas(),
             precision=self.precision,
@@ -505,6 +531,7 @@ class DDH:
             lam,
             f,
             self.g_ndof,
+            n_own=self.n_own,
             wh_maxit=self.wh_maxit,
             use_pallas=self._use_pallas(),
             precision=self.precision,
@@ -535,7 +562,47 @@ def _apply_S(S: jax.Array, p: jax.Array, precision=PRECISION) -> jax.Array:
     return jnp.einsum("dij,dj->di", S, p, precision=precision)
 
 
-def _forcing(params: DDHParams, x, lam, g_ndof: int):
+def _read_traces(
+    params: DDHParams,
+    lam,
+    n_lambda: int,
+    n_own: int,
+    n_own_pad: int | None = None,
+    dom_offset=None,
+):
+    """Own-side compact traces (lam0, mu0) as masked RESHAPES of lam.
+
+    The own-slot lambda layout makes a surviving trace unknown's id equal to
+    its (d*pf + k) compact slot position, so no gather is needed.  When the
+    subdomain batch is row-sharded, ``dom_offset`` (a traced axis offset) and
+    ``n_own_pad`` (the padded total own size, static) select this chip's
+    contiguous row block with one dynamic slice.
+    """
+    ndom, pf = params.B0.shape
+    lam_g, mu_g = lam[:n_lambda], lam[n_lambda:]
+    if dom_offset is None:
+        lam0 = lam_g[:n_own].reshape(ndom, pf)
+        mu0 = mu_g[:n_own].reshape(ndom, pf)
+    else:
+        padn = n_own_pad - n_own
+        lo = jnp.pad(lam_g[:n_own], (0, padn))
+        mo = jnp.pad(mu_g[:n_own], (0, padn))
+        start = dom_offset * pf
+        lam0 = lax.dynamic_slice_in_dim(lo, start, ndom * pf).reshape(ndom, pf)
+        mu0 = lax.dynamic_slice_in_dim(mo, start, ndom * pf).reshape(ndom, pf)
+    has = params.B0 >= 0
+    return jnp.where(has, lam0, 0.0), jnp.where(has, mu0, 0.0)
+
+
+def _forcing(
+    params: DDHParams,
+    x,
+    lam,
+    g_ndof: int,
+    n_own: int | None = None,
+    n_own_pad: int | None = None,
+    dom_offset=None,
+):
     """Gather forcing and lambda traces into subdomain slots.
 
     Returns F, G (ndom, pad) and the COMPACT own-trace values lam0, mu0
@@ -552,11 +619,7 @@ def _forcing(params: DDHParams, x, lam, g_ndof: int):
         F, G = zero, zero
     if lam is not None and lam.shape[0] > 0:
         n_lam = lam.shape[0] // 2
-        lam_g, mu_g = lam[:n_lam], lam[n_lam:]
-        B0_safe = jnp.maximum(params.B0, 0)
-        has = params.B0 >= 0
-        lam0 = jnp.where(has, lam_g[B0_safe], 0.0)
-        mu0 = jnp.where(has, mu_g[B0_safe], 0.0)
+        lam0, mu0 = _read_traces(params, lam, n_lam, n_own, n_own_pad, dom_offset)
         # embed H*lam0 at the face slots; padded rows carry Hf == 0 so the
         # clamped slot-0 adds are exact no-ops
         ndom, pad = F.shape
@@ -651,35 +714,44 @@ def _scatter_solution(params: DDHParams, u, v, g_ndof: int):
     return jnp.concatenate([yu, yv])
 
 
-@partial(jax.jit, static_argnames=("wh_maxit", "use_pallas", "precision"))
+@partial(jax.jit, static_argnames=("n_own", "wh_maxit", "use_pallas", "precision"))
 def ddh_action(
     params: DDHParams,
     lam: jax.Array,
+    n_own: int | None = None,
     wh_maxit: int = WH_MAXIT,
     use_pallas: bool = False,
     precision: str = PRECISION,
 ):
     """lambda - S(lambda): fixed-point form of the substructured system."""
     n_lambda = lam.shape[0] // 2
-    F, G, lam0, mu0 = _forcing(params, None, lam, 0)
+    if n_own is None:
+        n_own = params.B0.shape[0] * params.B0.shape[1]
+    F, G, lam0, mu0 = _forcing(params, None, lam, 0, n_own)
     u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas, precision)
     v = v / params.omega
     upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
     return lam - upd
 
 
-def _transfer_update(params: DDHParams, T: jax.Array, lam: jax.Array, n_lambda: int):
+def _transfer_update(
+    params: DDHParams,
+    T: jax.Array,
+    lam: jax.Array,
+    n_lambda: int,
+    n_own: int,
+    n_own_pad: int | None = None,
+    dom_offset=None,
+):
     """Transmission update S(lambda) via the per-subdomain transfer matrices.
 
     Shared by the single-chip apply and the subdomain-sharded apply (where
     params/T hold this chip's subdomain rows and the caller psums the result).
     """
     pf = params.Hf.shape[1]
-    lam_g, mu_g = lam[:n_lambda], lam[n_lambda:]
-    B0_safe = jnp.maximum(params.B0, 0)
-    has = params.B0 >= 0
-    lam0 = jnp.where(has, lam_g[B0_safe], 0.0).astype(T.dtype)
-    mu0 = jnp.where(has, mu_g[B0_safe], 0.0).astype(T.dtype)
+    lam0, mu0 = _read_traces(params, lam, n_lambda, n_own, n_own_pad, dom_offset)
+    lam0 = lam0.astype(T.dtype)
+    mu0 = mu0.astype(T.dtype)
     x = jnp.concatenate([lam0, mu0], axis=1)  # (ndom, 2pf)
     # small matmul: keep true fp32 (the 3-pass bf16 trick is only needed for
     # the long cycle; here "highest" costs microseconds)
@@ -697,8 +769,8 @@ def _transfer_update(params: DDHParams, T: jax.Array, lam: jax.Array, n_lambda: 
     return jnp.concatenate([out_l, out_m])
 
 
-@jax.jit
-def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array):
+@partial(jax.jit, static_argnames=("n_own",))
+def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array, n_own: int):
     """lambda - S(lambda) via the precomputed per-subdomain transfer matrices.
 
     Algebraically identical to ``ddh_action`` (the cycle is linear in the
@@ -706,7 +778,7 @@ def ddh_action_transfer(params: DDHParams, T: jax.Array, lam: jax.Array):
     the trace exchange, instead of wh_maxit*nt*2 stiffness matmuls.
     """
     n_lambda = lam.shape[0] // 2
-    return lam - _transfer_update(params, T, lam, n_lambda)
+    return lam - _transfer_update(params, T, lam, n_lambda, n_own)
 
 
 @partial(
@@ -729,18 +801,24 @@ def ddh_rhs(
     return _scatter_updates(params, lam0, mu0, u, v, n_lambda)
 
 
-@partial(jax.jit, static_argnames=("g_ndof", "wh_maxit", "use_pallas", "precision"))
+@partial(
+    jax.jit,
+    static_argnames=("g_ndof", "n_own", "wh_maxit", "use_pallas", "precision"),
+)
 def ddh_postprocess(
     params: DDHParams,
     lam: jax.Array,
     f: jax.Array,
     g_ndof: int,
+    n_own: int | None = None,
     wh_maxit: int = WH_MAXIT,
     use_pallas: bool = False,
     precision: str = PRECISION,
 ):
     """Recover [u; v] from the substructured solution and the forcing."""
-    F, G, _, _ = _forcing(params, f, lam, g_ndof)
+    if n_own is None:
+        n_own = params.B0.shape[0] * params.B0.shape[1]
+    F, G, _, _ = _forcing(params, f, lam, g_ndof, n_own)
     u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas, precision)
     v = v / params.omega
     return _scatter_solution(params, u, v, g_ndof)

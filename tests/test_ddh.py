@@ -79,7 +79,12 @@ def test_ddh_action_affine_consistency(small_ddh):
     mesh, fem, omega, a_nodal, alpha, ddh = small_ddh
     rng = np.random.default_rng(1)
     n = ddh.size
-    assert n == 4 * ddh.efem.n_shared_dofs
+    # own-slot layout: every surviving trace id is its compact slot position,
+    # overwritten (corner) ids ride in a tail, dead slots are zero-padding
+    assert n == 2 * ddh.n_lambda
+    assert ddh.n_lambda == ddh.n_own + ddh.n_lost
+    # surviving ids (2*n_shared - n_lost) each occupy one distinct own slot
+    assert 2 * ddh.efem.n_shared_dofs - ddh.n_lost <= ddh.n_own
     l1 = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     l2 = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
     a0 = ddh.action(jnp.zeros(n, jnp.float32))
