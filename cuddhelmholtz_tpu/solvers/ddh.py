@@ -378,6 +378,8 @@ class DDH:
         self._Hf_np = Hf
         self.T: jax.Array | None = None
         self.use_transfer = False
+        self.route: RollRoute | None = None
+        self.route_offs: tuple = ()
 
         # Forcing split across subdomains.  The reference feeds the FULL
         # global rhs row to every subdomain that touches it (DDH.cpp:209-212),
@@ -416,6 +418,10 @@ class DDH:
 
     def action(self, lam: jax.Array) -> jax.Array:
         """y = lambda - S(lambda): the GMRES operator (DDH.cpp:611-639)."""
+        if self.use_transfer and self.route is not None:
+            return ddh_action_transfer_rolled(
+                self.params, self.route, lam, self.n_own, self.route_offs
+            )
         if self.use_transfer and self.T is not None:
             return ddh_action_transfer(self.params, self.T, lam, self.n_own)
         return ddh_action(
@@ -510,6 +516,10 @@ class DDH:
         T = jnp.concatenate(outs, axis=0)  # (2pf, ndom, 2pf): [col, dom, row]
         self.T = jnp.transpose(T, (1, 2, 0)).astype(self.dtype)  # (ndom, row, col)
         self.use_transfer = True
+        # roll-based exchange when the dual graph is (near-)regular
+        built = _build_roll_route(self.T, np.asarray(self.params.B1), self.n_own)
+        if built is not None:
+            self.route, self.route_offs = built
         return self.T
 
     def rhs(self, f: jax.Array) -> jax.Array:
@@ -544,6 +554,130 @@ class DDH:
             return jax.default_backend() == "tpu"
         except Exception:
             return False
+
+
+class RollRoute(NamedTuple):
+    """Roll-based trace exchange for (near-)regular subdomain graphs.
+
+    Discovered generically from the B1 dual table: sender slot k of domain d
+    routing to slot sigma(k) of domain d+off for a fixed flat offset ``off``
+    (uniform for all domains) can be exchanged with an elementwise mask and a
+    ``jnp.roll`` -- pure HBM-bandwidth ops -- instead of a per-element
+    scatter.  ``A`` is the transfer matrix with the identity terms folded in
+    and rows PERMUTED so each sender's update already sits at its target
+    slot column; the few senders that don't fit a uniform route (subdomain
+    corners, partition boundary quirks) go through one small scatter.
+    """
+
+    A: jax.Array  # (ndom, 2pf, 2pf): row-permuted  -I -/+ T
+    masks: jax.Array  # (n_off, ndom, 2pf) 0/1 uniform-sender masks (permuted)
+    irr_src: jax.Array  # (n_irr,) int32 into the permuted (ndom*pf) half
+    irr_tgt: jax.Array  # (n_irr,) int32 into the n_lambda-sized side vector
+    # the flat domain offsets (one per mask row) are passed separately as a
+    # STATIC tuple so the rolls compile to fixed shifts
+
+
+def _build_roll_route(
+    T: np.ndarray | jax.Array,
+    B1_np: np.ndarray,
+    n_own: int,
+    max_offsets: int = 8,
+    min_uniform_frac: float = 0.5,
+) -> tuple[RollRoute, tuple] | None:
+    """Discover uniform (offset, slot-map) routes in B1 and build a RollRoute.
+
+    Returns None when fewer than ``min_uniform_frac`` of the senders fit a
+    uniform route (e.g. very irregular partitions), in which case the
+    scatter exchange stays in use.
+    """
+    from collections import Counter
+
+    ndom, pf = B1_np.shape
+    d = np.repeat(np.arange(ndom), pf)
+    k = np.tile(np.arange(pf), ndom)
+    t = B1_np.reshape(-1).astype(np.int64)
+    send = t >= 0
+    own_t = send & (t < n_own)
+    td, tk = np.divmod(np.where(own_t, t, 0), pf)
+    off_all = td - d
+
+    routes = []  # (off, sigma (pf,), mask (ndom*pf,))
+    rest = send.copy()
+    used_cols = np.zeros(pf, bool)  # target slots already owned by a sender
+    used_rows = np.zeros(pf, bool)  # sender slots already claimed by a route
+    cnt = Counter(off_all[own_t].tolist())
+    for o, _ in cnt.most_common(max_offsets):
+        sel = own_t & (off_all == o) & rest & ~used_rows[k]
+        if not sel.any():
+            continue
+        # majority target slot per sender slot; each sender slot belongs to at
+        # most one route (its value sits at ONE permuted column of A), and
+        # each target column is owned by at most one sender slot
+        sigma = np.full(pf, -1, np.int64)
+        for kk in np.unique(k[sel]):
+            skk = sel & (k == kk)
+            vals, c = np.unique(tk[skk], return_counts=True)
+            order = np.argsort(-c)
+            for v in vals[order]:
+                if not used_cols[v]:
+                    sigma[kk] = v
+                    used_cols[v] = True
+                    used_rows[kk] = True
+                    break
+        match = sel & (sigma[k] == tk) & (sigma[k] >= 0)
+        if not match.any():
+            continue
+        routes.append((int(o), sigma, match))
+        rest &= ~match
+
+    n_uniform = int(sum(m.sum() for _, _, m in routes))
+    if n_uniform < min_uniform_frac * int(send.sum()):
+        return None
+
+    # full slot permutation P: uniform sender slot k -> sigma(k); leftovers
+    # fill the remaining columns in order
+    P = np.full(pf, -1, np.int64)
+    taken = np.zeros(pf, bool)
+    for _, sigma, _ in routes:
+        ok = sigma >= 0
+        P[ok] = sigma[ok]
+        taken[sigma[ok]] = True
+    free_cols = np.nonzero(~taken)[0]
+    free_rows = np.nonzero(P < 0)[0]
+    P[free_rows] = free_cols
+    P2 = np.concatenate([P, pf + P])  # both (lambda, mu) halves
+
+    # A = row-permuted (-I -/+ T): row i<pf gives -x_l - w_l, row i>=pf
+    # gives -x_m + w_m, already at its target slot column
+    T = np.asarray(T)
+    A = np.concatenate([-T[:, :pf, :], T[:, pf:, :]], axis=1)
+    A[:, np.arange(2 * pf), np.arange(2 * pf)] -= 1.0
+    # place old row k at new row P2[k]:  u2[:, P2[k]] == u[:, k]
+    A = A[:, np.argsort(P2), :]
+
+    masks = np.zeros((len(routes), ndom, 2 * pf), np.float32)
+    offs = []
+    for i, (o, sigma, match) in enumerate(routes):
+        mk = match.reshape(ndom, pf)
+        cols = P[np.arange(pf)]
+        m2 = np.zeros((ndom, 2 * pf), np.float32)
+        # sender (d, k) now lives at permuted column P[k] (and pf + P[k])
+        m2[:, cols] = mk
+        m2[:, pf + cols] = mk
+        masks[i] = m2
+        offs.append(o)
+
+    irr = np.nonzero(rest)[0]
+    irr_d, irr_k = np.divmod(irr, pf)
+    irr_src = (irr_d * pf + P[irr_k]).astype(np.int32)  # into permuted half
+    irr_tgt = t[irr].astype(np.int32)
+    route = RollRoute(
+        A=jnp.asarray(A, np.float32),
+        masks=jnp.asarray(masks),
+        irr_src=jnp.asarray(irr_src),
+        irr_tgt=jnp.asarray(irr_tgt),
+    )
+    return route, tuple(offs)
 
 
 # ---------------------------------------------------------------- pure kernels
@@ -767,6 +901,38 @@ def _transfer_update(
         jnp.where(has1, upd_m, 0.0).reshape(-1).astype(lam.dtype), mode="drop"
     )[:n_lambda]
     return jnp.concatenate([out_l, out_m])
+
+
+@partial(jax.jit, static_argnames=("n_own", "offs"))
+def ddh_action_transfer_rolled(
+    params: DDHParams, route: RollRoute, lam: jax.Array, n_own: int, offs: tuple
+):
+    """lambda - S(lambda) with the roll-based trace exchange.
+
+    One batched (ndom, 2pf) @ (2pf, 2pf) matmul against the row-permuted,
+    identity-folded transfer matrix; uniform sender groups are routed with
+    elementwise masks + ``jnp.roll`` over the domain axis (HBM-bandwidth
+    ops), the irregular remainder (subdomain corners etc.) with one small
+    scatter per side.  Algebraically identical to ``ddh_action_transfer``.
+    """
+    n_lambda = lam.shape[0] // 2
+    ndom, pf = params.B0.shape
+    lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
+    x = jnp.concatenate([lam0, mu0], axis=1).astype(route.A.dtype)
+    u2 = jnp.einsum("dik,dk->di", route.A, x, precision="highest")
+    out_own = jnp.zeros_like(u2)
+    for i, off in enumerate(offs):
+        out_own = out_own + jnp.roll(route.masks[i] * u2, off, axis=0)
+    n_lost = n_lambda - n_own
+    tail = jnp.zeros(n_lost, dtype=lam.dtype)
+    out_l = jnp.concatenate([out_own[:, :pf].reshape(-1).astype(lam.dtype), tail])
+    out_m = jnp.concatenate([out_own[:, pf:].reshape(-1).astype(lam.dtype), tail])
+    if route.irr_src.shape[0] > 0:
+        vals_l = u2[:, :pf].reshape(-1)[route.irr_src].astype(lam.dtype)
+        vals_m = u2[:, pf:].reshape(-1)[route.irr_src].astype(lam.dtype)
+        out_l = out_l.at[route.irr_tgt].set(vals_l, mode="drop", unique_indices=True)
+        out_m = out_m.at[route.irr_tgt].set(vals_m, mode="drop", unique_indices=True)
+    return lam - jnp.concatenate([out_l, out_m])
 
 
 @partial(jax.jit, static_argnames=("n_own",))

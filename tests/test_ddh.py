@@ -184,9 +184,18 @@ def test_ddh_transfer_operator_matches_action(small_ddh):
     try:
         ddh.precompute_transfer()
         assert ddh.T.shape[0] == ddh.n_domains
+        # structured partitions get the roll-based exchange; it must agree
+        # with the scatter-exchange transfer apply and the wave-cycle action
+        assert ddh.route is not None
         y_t = np.asarray(ddh.action(lam))
         err = np.linalg.norm(y_t - y_direct) / np.linalg.norm(y_direct)
         assert err < 2e-5, err
+
+        from cuddhelmholtz_tpu.solvers.ddh import ddh_action_transfer
+
+        y_s = np.asarray(ddh_action_transfer(ddh.params, ddh.T, lam, ddh.n_own))
+        err_rs = np.abs(y_t - y_s).max() / max(1.0, np.abs(y_s).max())
+        assert err_rs < 1e-5, err_rs
 
         def f(xy):
             r = (xy[..., 0] + 0.5) ** 2 + xy[..., 1] ** 2
