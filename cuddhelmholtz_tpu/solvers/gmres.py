@@ -40,30 +40,39 @@ class GmresResult(NamedTuple):
 
 
 def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True):
-    """One Arnoldi + Givens step; no-ops (other than carry) once ``done``."""
+    """One Arnoldi + Givens step; no-ops (other than carry) once ``done``.
+
+    When ``k`` is a Python int (unrolled restart cycle) the orthogonalisation
+    reads only the populated rows ``V[:k+1]`` -- on average half the basis
+    HBM traffic of the full padded matmul used under ``lax.fori_loop``.
+    """
     dtype = V.dtype
     m1 = V.shape[0]
+    static_k = isinstance(k, int)
 
-    def active_step(args):
-        V, Q, R, eta, done, nmv = args
+    # The branches CLOSE OVER V and only return the new basis row: putting V
+    # through lax.cond's carry would materialise an (m+1, n) select each step
+    # (measured ~matvec-sized HBM cost) and block in-place row updates.
+    def active_step(_):
         w = matvec(V[k])
-        nmv = nmv + 1
-        # CGS(2): rows of V beyond the current k are zero, so the full matmul
-        # computes exactly the coefficients against v_0..v_k.  The second
-        # (re-orthogonalisation) pass costs two more reads of the (m+1, n)
+        # CGS(2): rows of V beyond the current k are zero, so the (sliced or
+        # padded) matmul computes exactly the coefficients against v_0..v_k.
+        # The second (re-orthogonalisation) pass costs two more reads of the
         # basis; skipping it (reorth=False) halves the orthogonalisation HBM
         # traffic at a loss of orthogonality quality -- fine for
         # well-conditioned systems, like the reference's single-pass scheme.
-        h = V @ w
-        w = w - V.T @ h
+        Vk = V[: k + 1] if static_k else V
+        h = Vk @ w
+        w = w - Vk.T @ h
         if reorth:
-            h2 = V @ w
-            w = w - V.T @ h2
+            h2 = Vk @ w
+            w = w - Vk.T @ h2
             h = h + h2
+        if static_k:
+            h = jnp.concatenate([h, jnp.zeros(m1 - k - 1, dtype)])
         hk1 = jnp.linalg.norm(w)
         breakdown = hk1 == 0.0
         vnew = jnp.where(breakdown, w, w / jnp.where(breakdown, 1.0, hk1))
-        V2 = V.at[k + 1].set(vnew)
         # rotate the new Hessenberg column by the accumulated rotations
         col = Q @ h.at[k + 1].set(hk1)
         # new Givens rotation zeroing entry k+1
@@ -84,15 +93,22 @@ def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True):
         Q2 = G @ Q
         eta2 = eta.at[k + 1].set(-s * eta[k]).at[k].set(c * eta[k])
         converged = jnp.abs(eta2[k + 1]) < tol_bnrm
-        return V2, Q2, R2, eta2, converged | breakdown, nmv
+        return vnew, Q2, R2, eta2, converged | breakdown, nmv + 1
 
-    def frozen(args):
-        V, Q, R, eta, done, nmv = args
+    def frozen(_):
         # keep the padded system solvable: identity column, zero rhs entry
         col = jnp.zeros(R.shape[0], dtype).at[k].set(1.0)
-        return V, Q, R.at[:, k].set(col), eta.at[k].set(0.0), done, nmv
+        return (
+            jnp.zeros(V.shape[1], dtype),
+            Q,
+            R.at[:, k].set(col),
+            eta.at[k].set(0.0),
+            done,
+            nmv,
+        )
 
-    return lax.cond(done, frozen, active_step, (V, Q, R, eta, done, nmv))
+    vnew, Q, R, eta, done, nmv = lax.cond(done, frozen, active_step, None)
+    return V.at[k + 1].set(vnew), Q, R, eta, done, nmv
 
 
 def gmres(
@@ -105,12 +121,19 @@ def gmres(
     tol: float = 1e-6,
     precond: Callable | None = None,
     reorth: bool = True,
+    unroll: bool = False,
 ) -> GmresResult:
     """Solve A x = b with restarted GMRES(m).
 
     ``matvec`` must be a pure function of one vector.  With ``precond`` P the
     left-preconditioned system P A x = P b is solved (reference
     ``PreconditionedSystem``, ``gmres.cpp:68-89,242-251``).  Jittable.
+
+    ``unroll=True`` unrolls the m inner Arnoldi steps in the compiled graph
+    (m static copies of the step): each step then reads only the populated
+    ``V[:k+1]`` rows, halving the average orthogonalisation HBM traffic.
+    Best for small m where the solver overhead rivals the matvec; compile
+    time grows with m.
     """
     dtype = b.dtype
     n = b.shape[0]
@@ -146,9 +169,13 @@ def gmres(
                 inner_matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth
             )
 
-        V, Q, R, eta, _, nmv = lax.fori_loop(
-            0, m, inner, (V, Q, R, eta, jnp.asarray(False), nmv)
-        )
+        carry = (V, Q, R, eta, jnp.asarray(False), nmv)
+        if unroll:
+            for kk in range(m):
+                carry = inner(kk, carry)
+            V, Q, R, eta, _, nmv = carry
+        else:
+            V, Q, R, eta, _, nmv = lax.fori_loop(0, m, inner, carry)
         # padded upper-triangular solve: frozen columns are identity with a
         # zero rhs, so their solution components vanish
         y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
@@ -193,6 +220,7 @@ def gmres_host(
     max_seconds: float = 6 * 60 * 60,
     verbose: int = 0,
     reorth: bool = True,
+    unroll: bool = False,
 ) -> tuple[GmresResult, list]:
     """Restarted GMRES with a host-side restart loop.
 
@@ -232,9 +260,13 @@ def gmres_host(
             V, Q, R, eta, done, nmv = args
             return _arnoldi_step(inner, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth)
 
-        V, Q, R, eta, _, nmv = lax.fori_loop(
-            0, m, step, (V, Q, R, eta, jnp.asarray(False), jnp.asarray(0))
-        )
+        carry = (V, Q, R, eta, jnp.asarray(False), jnp.asarray(0))
+        if unroll:
+            for kk in range(m):
+                carry = step(kk, carry)
+            V, Q, R, eta, _, nmv = carry
+        else:
+            V, Q, R, eta, _, nmv = lax.fori_loop(0, m, step, carry)
         y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
         x = x + V[:m].T @ y
         r = b - inner(x)
