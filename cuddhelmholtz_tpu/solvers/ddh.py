@@ -458,18 +458,48 @@ class DDH:
         pad = self.pad
         ncols = 2 * pf
 
+        # --- identical-subdomain dedup ------------------------------------
+        # The cycle output for a one-hot trace column depends only on this
+        # domain's (S, Ha, inv_mi, Hf, fslot, a2wf); domains with bitwise-
+        # identical data produce identical transfer matrices (uniform meshes
+        # with piecewise-constant coefficients have only a handful of
+        # distinct domain types), so run the ~2pf wave-cycle columns for the
+        # UNIQUE domains only.
+        Ha_np = np.asarray(p.Ha)
+        mi_np = np.asarray(p.inv_mi)
+        a2wf_np = np.asarray(p.a2wf)
+        parts = [Ha_np, mi_np, a2wf_np, Hf, fslot.astype(np.float64)]
+        if p.S.ndim == 3:
+            rng = np.random.default_rng(0)
+            probe = np.asarray(p.S) @ rng.standard_normal((pad, 2)).astype(np.float32)
+            parts.append(probe.reshape(ndom, -1))
+        key = np.concatenate(
+            [np.ascontiguousarray(x, dtype=np.float64) for x in parts], axis=1
+        )
+        _, uidx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+        inv = inv.reshape(-1)
+        nu = len(uidx)
+        self._T_groups = inv
+
         # one-hot trace forcing columns: column k (< pf) puts Hf[d, k] at
         # fslot[d, k] in F (the lam side); column pf + k does the same in G
         # (the mu side).  Each column touches exactly one face DOF per
         # domain, so set == the production path's add even at corner slots.
-        kk, dd = np.meshgrid(np.arange(pf), np.arange(ndom), indexing="ij")
-        sl = np.maximum(fslot, 0)
-        cols_F = np.zeros((pf, ndom, pad), np.float32)
-        cols_F[kk, dd, sl[dd, kk]] = Hf[dd, kk]
+        fslot_u, Hf_u = fslot[uidx], Hf[uidx]
+        a2wf_u = jnp.asarray(a2wf_np[uidx])
+        fs_u = jnp.asarray(np.maximum(fslot_u, 0))
+        kk, dd = np.meshgrid(np.arange(pf), np.arange(nu), indexing="ij")
+        sl = np.maximum(fslot_u, 0)
+        cols_F = np.zeros((pf, nu, pad), np.float32)
+        cols_F[kk, dd, sl[dd, kk]] = Hf_u[dd, kk]
+
+        Ha_u = jnp.asarray(Ha_np[uidx])
+        mi_u = jnp.asarray(mi_np[uidx])
+        S_u = p.S if p.S.ndim == 2 else p.S[jnp.asarray(uidx)]
 
         if chunk is None:
             # bound the batched-cycle working set to ~128 MB of fp32 rows
-            chunk = int(max(1, min(ncols, (1 << 25) // max(1, ndom * pad))))
+            chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
         use_pallas = self._use_pallas()
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
@@ -477,33 +507,32 @@ class DDH:
         def run_chunk(Fb, Gb):
             c = Fb.shape[0]
             p2 = p._replace(
-                Ha=jnp.tile(p.Ha, (c, 1)),
-                inv_mi=jnp.tile(p.inv_mi, (c, 1)),
-                S=p.S if p.S.ndim == 2 else jnp.tile(p.S, (c, 1, 1)),
+                Ha=jnp.tile(Ha_u, (c, 1)),
+                inv_mi=jnp.tile(mi_u, (c, 1)),
+                S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
             )
             u, v = _wave_cycle(
                 p2,
-                Fb.reshape(c * ndom, pad),
-                Gb.reshape(c * ndom, pad),
+                Fb.reshape(c * nu, pad),
+                Gb.reshape(c * nu, pad),
                 wh_maxit,
                 use_pallas,
                 precision,
             )
-            u = u.reshape(c, ndom, pad)
-            v = v.reshape(c, ndom, pad) / omega
-            fs = jnp.maximum(p.fslot, 0)
-            uf = jnp.take_along_axis(u, jnp.broadcast_to(fs[None], (c, ndom, pf)), axis=2)
-            vf = jnp.take_along_axis(v, jnp.broadcast_to(fs[None], (c, ndom, pf)), axis=2)
-            return jnp.concatenate([p.a2wf[None] * vf, p.a2wf[None] * uf], axis=2)
+            u = u.reshape(c, nu, pad)
+            v = v.reshape(c, nu, pad) / omega
+            uf = jnp.take_along_axis(u, jnp.broadcast_to(fs_u[None], (c, nu, pf)), axis=2)
+            vf = jnp.take_along_axis(v, jnp.broadcast_to(fs_u[None], (c, nu, pf)), axis=2)
+            return jnp.concatenate([a2wf_u[None] * vf, a2wf_u[None] * uf], axis=2)
 
-        zero = jnp.zeros((min(chunk, ncols), ndom, pad), jnp.float32)
+        zero = jnp.zeros((min(chunk, ncols), nu, pad), jnp.float32)
         outs = []
         for k0 in range(0, ncols, chunk):
             c = min(chunk, ncols - k0)
             if k0 < pf:
                 # columns [k0, k0+c) may straddle the lam/mu boundary
-                f_rows = np.zeros((c, ndom, pad), np.float32)
-                g_rows = np.zeros((c, ndom, pad), np.float32)
+                f_rows = np.zeros((c, nu, pad), np.float32)
+                g_rows = np.zeros((c, nu, pad), np.float32)
                 n_lam = min(c, pf - k0)
                 f_rows[:n_lam] = cols_F[k0 : k0 + n_lam]
                 if n_lam < c:
@@ -513,11 +542,14 @@ class DDH:
                 Fb = zero[:c]
                 Gb = jnp.asarray(cols_F[k0 - pf : k0 - pf + c])
             outs.append(run_chunk(Fb, Gb))
-        T = jnp.concatenate(outs, axis=0)  # (2pf, ndom, 2pf): [col, dom, row]
-        self.T = jnp.transpose(T, (1, 2, 0)).astype(self.dtype)  # (ndom, row, col)
+        T_u = jnp.concatenate(outs, axis=0)  # (2pf, nu, 2pf): [col, dom, row]
+        T_u = jnp.transpose(T_u, (1, 2, 0)).astype(self.dtype)  # (nu, row, col)
+        self.T = T_u[jnp.asarray(inv)]  # full (ndom, 2pf, 2pf) for fallbacks
         self.use_transfer = True
         # roll-based exchange when the dual graph is (near-)regular
-        built = _build_roll_route(self.T, np.asarray(self.params.B1), self.n_own)
+        built = _build_roll_route(
+            self.T, np.asarray(self.params.B1), self.n_own, groups=inv
+        )
         if built is not None:
             self.route, self.route_offs = built
         return self.T
@@ -569,10 +601,17 @@ class RollRoute(NamedTuple):
     corners, partition boundary quirks) go through one small scatter.
     """
 
-    A: jax.Array  # (ndom, 2pf, 2pf): row-permuted  -I -/+ T
+    A: jax.Array | None  # (ndom, 2pf, 2pf) row-permuted -I -/+ T (dense form)
     masks: jax.Array  # (n_off, ndom, 2pf) 0/1 uniform-sender masks (permuted)
     irr_src: jax.Array  # (n_irr,) int32 into the permuted (ndom*pf) half
     irr_tgt: jax.Array  # (n_irr,) int32 into the n_lambda-sized side vector
+    # majority split (set when >= half the domains share one matrix): the
+    # batched matmul becomes one SHARED (2pf, 2pf) matmul + one-hot-selected
+    # corrections for the special domains -- HBM reads drop from
+    # ndom*(2pf)^2 to ~nspec*(2pf)^2
+    A0: jax.Array | None  # (2pf, 2pf) shared majority matrix
+    A_spec: jax.Array | None  # (nspec, 2pf, 2pf) corrections A[spec] - A0
+    S_sel: jax.Array | None  # (nspec, ndom) 0/1 row selector
     # the flat domain offsets (one per mask row) are passed separately as a
     # STATIC tuple so the rolls compile to fixed shifts
 
@@ -583,6 +622,7 @@ def _build_roll_route(
     n_own: int,
     max_offsets: int = 8,
     min_uniform_frac: float = 0.5,
+    groups: np.ndarray | None = None,
 ) -> tuple[RollRoute, tuple] | None:
     """Discover uniform (offset, slot-map) routes in B1 and build a RollRoute.
 
@@ -671,11 +711,32 @@ def _build_roll_route(
     irr_d, irr_k = np.divmod(irr, pf)
     irr_src = (irr_d * pf + P[irr_k]).astype(np.int32)  # into permuted half
     irr_tgt = t[irr].astype(np.int32)
+
+    # majority split: one shared matrix + one-hot-selected corrections
+    A0 = A_spec = S_sel = None
+    if groups is not None:
+        counts = np.bincount(groups)
+        maj = int(np.argmax(counts))
+        if counts[maj] >= 0.5 * ndom:
+            maj_dom = int(np.nonzero(groups == maj)[0][0])
+            A0 = jnp.asarray(A[maj_dom], np.float32)
+            spec = np.nonzero(groups != maj)[0]
+            if spec.size:
+                A_spec = jnp.asarray(A[spec] - A[maj_dom][None], np.float32)
+                sel = np.zeros((spec.size, ndom), np.float32)
+                sel[np.arange(spec.size), spec] = 1.0
+                S_sel = jnp.asarray(sel)
+            else:
+                A_spec = S_sel = None
+
     route = RollRoute(
-        A=jnp.asarray(A, np.float32),
+        A=None if A0 is not None else jnp.asarray(A, np.float32),
         masks=jnp.asarray(masks),
         irr_src=jnp.asarray(irr_src),
         irr_tgt=jnp.asarray(irr_tgt),
+        A0=A0,
+        A_spec=A_spec,
+        S_sel=S_sel,
     )
     return route, tuple(offs)
 
@@ -918,8 +979,23 @@ def ddh_action_transfer_rolled(
     n_lambda = lam.shape[0] // 2
     ndom, pf = params.B0.shape
     lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
-    x = jnp.concatenate([lam0, mu0], axis=1).astype(route.A.dtype)
-    u2 = jnp.einsum("dik,dk->di", route.A, x, precision="highest")
+    dt_A = route.A0.dtype if route.A0 is not None else route.A.dtype
+    x = jnp.concatenate([lam0, mu0], axis=1).astype(dt_A)
+    if route.A0 is not None:
+        # shared majority matmul + one-hot-selected per-domain corrections
+        u2 = jax.lax.dot_general(
+            x, route.A0, (((1,), (1,)), ((), ())), precision="highest"
+        )
+        if route.A_spec is not None:
+            xs = jax.lax.dot_general(
+                route.S_sel, x, (((1,), (0,)), ((), ())), precision="highest"
+            )
+            ws = jnp.einsum("sik,sk->si", route.A_spec, xs, precision="highest")
+            u2 = u2 + jax.lax.dot_general(
+                route.S_sel, ws, (((0,), (0,)), ((), ())), precision="highest"
+            )
+    else:
+        u2 = jnp.einsum("dik,dk->di", route.A, x, precision="highest")
     out_own = jnp.zeros_like(u2)
     for i, off in enumerate(offs):
         out_own = out_own + jnp.roll(route.masks[i] * u2, off, axis=0)
