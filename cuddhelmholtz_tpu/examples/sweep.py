@@ -4,7 +4,11 @@ Runs the DDH-preconditioned solve over a list of nx values (omega =
 2*pi*nx/10, the reference drivers' scaling) and reports one JSON record per
 config: iterations, matvecs, time, and stencil-equivalent throughput.
 
-Usage:  python -m cuddhelmholtz_tpu.examples.sweep [nx ...]
+Usage:  python -m cuddhelmholtz_tpu.examples.sweep [--transfer] [nx ...]
+
+``--transfer`` precomputes the per-subdomain trace-transfer matrices (the
+production configuration at production matvec counts; setup pays ~2*pf
+wave-cycle columns once).
 """
 
 from __future__ import annotations
@@ -44,6 +48,8 @@ def sweep(nx_list=(32, 64, 128), deg=3, **kwargs):
 
 
 if __name__ == "__main__":
-    nxs = tuple(int(a) for a in sys.argv[1:]) or (32, 64, 128)
-    out = sweep(nxs)
+    args = sys.argv[1:]
+    transfer = "--transfer" in args
+    nxs = tuple(int(a) for a in args if a != "--transfer") or (32, 64, 128)
+    out = sweep(nxs, transfer=transfer)
     print(json.dumps(out))

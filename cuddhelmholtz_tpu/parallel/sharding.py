@@ -40,6 +40,7 @@ from ..solvers.ddh import (
     DDH,
     DDHParams,
     _forcing,
+    _read_traces,
     _scatter_solution,
     _scatter_updates,
     _transfer_update,
@@ -226,6 +227,57 @@ class ShardedDDH:
         self.T = place_rows(ddh.T) if ddh.use_transfer else None
         self.use_transfer = self.T is not None
 
+        # halo-exchange (ppermute) variant of the rolled trace exchange: the
+        # uniform sender routes become local rolls whose boundary rows ride
+        # ICI to the neighbouring chip, instead of replicating the full
+        # lambda update with a big psum.  Requires every route offset to fit
+        # within one chip's subdomain block.
+        self.route_offs = ()
+        self._roll_data = None
+        if ddh.use_transfer and ddh.route is not None:
+            route = ddh.route
+            offs = ddh.route_offs
+            ndom_local = ndom_pad // n
+            if all(abs(o) <= ndom_local for o in offs):
+                pf2 = int(ddh.params.Hf.shape[1])
+                if route.A is not None:
+                    A_full = np.asarray(route.A)
+                else:
+                    A_full = np.repeat(np.asarray(route.A0)[None], ndom, 0)
+                    if route.A_spec is not None:
+                        spec = np.asarray(route.S_sel).argmax(1)
+                        A_full[spec] += np.asarray(route.A_spec)
+                masks = np.asarray(route.masks)
+                masks = np.pad(masks, ((0, 0), (0, ndom_pad - ndom), (0, 0)))
+                # per-shard padded irregular lists (local flat src in the
+                # permuted half, global lambda target)
+                irr_src = np.asarray(route.irr_src)
+                irr_tgt = np.asarray(route.irr_tgt)
+                shard_of = (irr_src // pf2) // ndom_local
+                mx_irr = max(
+                    1, int(np.bincount(shard_of, minlength=n).max())
+                )
+                irr_ls = np.zeros((n, mx_irr), np.int32)
+                irr_t = np.full((n, mx_irr), ddh.n_lambda, np.int32)  # dropped
+                fill = np.zeros(n, np.int64)
+                for s_, src_, tgt_ in zip(shard_of, irr_src, irr_tgt):
+                    irr_ls[s_, fill[s_]] = src_ - s_ * ndom_local * pf2
+                    irr_t[s_, fill[s_]] = tgt_
+                    fill[s_] += 1
+                self.route_offs = tuple(offs)
+                self._roll_data = (
+                    place_rows(jnp.asarray(A_full, jnp.float32)),
+                    jax.device_put(
+                        jnp.asarray(masks), NamedSharding(mesh, P(None, axis))
+                    ),
+                    jax.device_put(
+                        jnp.asarray(irr_ls), NamedSharding(mesh, P(axis))
+                    ),
+                    jax.device_put(
+                        jnp.asarray(irr_t), NamedSharding(mesh, P(axis))
+                    ),
+                )
+
         @partial(
             shard_map,
             mesh=mesh,
@@ -282,7 +334,87 @@ class ShardedDDH:
             y = _scatter_solution(params, u, v, g_ndof)
             return jax.lax.psum(y, axis_)
 
-        if self.use_transfer:
+        if self._roll_data is not None:
+            offs_ = self.route_offs
+            perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+            perm_bwd = [(i, (i - 1) % n) for i in range(n)]
+            pf_ = pf
+            n_lost = ddh.n_lambda - n_own
+
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(
+                    self._param_spec,
+                    P(axis),
+                    P(None, axis),
+                    P(axis),
+                    P(axis),
+                    P(),
+                ),
+                out_specs=P(),
+                check_vma=False,  # replication via all_gather+psum; the
+                # static checker can't infer it through ppermute chains
+            )
+            def _action_rolled(params, A, masks, irr_ls, irr_t, lam):
+                """Rolled trace exchange with ppermute halo transfers.
+
+                Uniform sender routes shift this chip's subdomain block
+                locally; only the |off| boundary rows ride ICI to the
+                neighbouring chip.  The small irregular remainder scatters
+                into a psum.
+                """
+                lam0, mu0 = _read_traces(
+                    params, lam, n_lambda, n_own, n_own_pad, _offset()
+                )
+                x = jnp.concatenate([lam0, mu0], axis=1).astype(A.dtype)
+                u2 = jnp.einsum("dik,dk->di", A, x, precision="highest")
+                L = u2.shape[0]
+                out_loc = jnp.zeros_like(u2)
+                for i, off in enumerate(offs_):
+                    mu_ = masks[i] * u2
+                    if off > 0:
+                        recv = jax.lax.ppermute(mu_[L - off :], axis_, perm_fwd)
+                        shifted = jnp.concatenate([recv, mu_[: L - off]], axis=0)
+                    elif off < 0:
+                        recv = jax.lax.ppermute(mu_[:-off], axis_, perm_bwd)
+                        shifted = jnp.concatenate([mu_[-off:], recv], axis=0)
+                    else:
+                        shifted = mu_
+                    out_loc = out_loc + shifted
+                full = jax.lax.all_gather(out_loc, axis_, tiled=True)
+                out_l = jnp.concatenate(
+                    [
+                        full[:, :pf_].reshape(-1)[:n_own].astype(lam.dtype),
+                        jnp.zeros(n_lost, lam.dtype),
+                    ]
+                )
+                out_m = jnp.concatenate(
+                    [
+                        full[:, pf_:].reshape(-1)[:n_own].astype(lam.dtype),
+                        jnp.zeros(n_lost, lam.dtype),
+                    ]
+                )
+                ls, tg = irr_ls[0], irr_t[0]
+                vals_l = u2[:, :pf_].reshape(-1)[ls].astype(lam.dtype)
+                vals_m = u2[:, pf_:].reshape(-1)[ls].astype(lam.dtype)
+                addl = jnp.zeros(n_lambda + 1, lam.dtype).at[tg].add(
+                    vals_l, mode="drop"
+                )[:n_lambda]
+                addm = jnp.zeros(n_lambda + 1, lam.dtype).at[tg].add(
+                    vals_m, mode="drop"
+                )[:n_lambda]
+                out_l = out_l + jax.lax.psum(addl, axis_)
+                out_m = out_m + jax.lax.psum(addm, axis_)
+                return lam - jnp.concatenate([out_l, out_m])
+
+            A_r, masks_r, irr_ls_r, irr_t_r = self._roll_data
+            self._action_fn = jax.jit(
+                lambda lam: _action_rolled(
+                    self.params, A_r, masks_r, irr_ls_r, irr_t_r, lam
+                )
+            )
+        elif self.use_transfer:
             self._action_fn = jax.jit(
                 lambda lam: _action_transfer(self.params, self.T, lam)
             )

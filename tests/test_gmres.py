@@ -143,3 +143,67 @@ def test_gmres_single_pass_cgs():
     assert bool(out.success)
     err = float(jnp.linalg.norm(out.x - x_true) / jnp.linalg.norm(x_true))
     assert err < 1e-8
+
+
+def test_gmres_unrolled_matches_loop():
+    """unroll=True (static-k sliced orthogonalisation) reproduces the looped
+    trajectory on the Toeplitz system."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuddhelmholtz_tpu.solvers.gmres import gmres
+
+    n = 512
+    rng = np.random.default_rng(8)
+    x_true = jnp.asarray(rng.standard_normal(n))
+
+    def matvec(v):
+        return 2.0 * v - 0.4 * jnp.roll(v, 1) + 0.3 * jnp.roll(v, -1)
+
+    b = matvec(x_true)
+    out_l = gmres(matvec, b, m=6, maxit=40, tol=1e-10)
+    out_u = gmres(matvec, b, m=6, maxit=40, tol=1e-10, unroll=True)
+    assert bool(out_u.success)
+    assert int(out_u.num_iter) == int(out_l.num_iter)
+    h_l = np.asarray(out_l.res_norm)[: int(out_l.n_hist)]
+    h_u = np.asarray(out_u.res_norm)[: int(out_u.n_hist)]
+    assert np.allclose(h_l, h_u, rtol=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Saving the iterate mid-solve and resuming via x0 continues the solve
+    (aux subsystem beyond the reference, SURVEY.md section 5)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cuddhelmholtz_tpu.solvers.gmres import gmres
+    from cuddhelmholtz_tpu.utils.checkpoint import (
+        load_solver_state,
+        save_solver_state,
+    )
+
+    n = 512
+    rng = np.random.default_rng(9)
+    x_true = jnp.asarray(rng.standard_normal(n))
+
+    def matvec(v):
+        return 2.0 * v - 0.4 * jnp.roll(v, 1) + 0.3 * jnp.roll(v, -1)
+
+    b = matvec(x_true)
+    partial = gmres(matvec, b, m=5, maxit=3, tol=1e-12)
+    assert not bool(partial.success)
+    path = str(tmp_path / "ckpt.npz")
+    save_solver_state(
+        path, partial.x, res_norm=partial.res_norm, omega=1.5, tag=7
+    )
+    state = load_solver_state(path)
+    assert float(state["omega"]) == 1.5 and int(state["tag"]) == 7
+
+    resumed = gmres(matvec, b, x0=jnp.asarray(state["x"]), m=5, maxit=100, tol=1e-10)
+    assert bool(resumed.success)
+    err = float(jnp.linalg.norm(resumed.x - x_true) / jnp.linalg.norm(x_true))
+    assert err < 1e-8
+    # resume starts from the checkpointed residual level
+    h0 = float(np.asarray(resumed.res_norm)[0])
+    hp = float(np.asarray(partial.res_norm)[int(partial.n_hist) - 1])
+    assert abs(h0 - hp) < 1e-5 * max(1.0, hp)

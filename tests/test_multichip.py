@@ -93,6 +93,29 @@ def test_sharded_ddh_transfer_action_matches(mesh8):
     assert np.abs(got - want).max() < 1e-4 * scale
 
 
+def test_sharded_ddh_ppermute_rolls_match(mesh8):
+    """The ppermute halo-exchange (rolled) sharded action == the single-device
+    rolled action.  Needs route offsets to fit within one chip's block:
+    16x16 elements / block 8 -> 8x8 subdomains, offsets (+-1, +-8), 8 rows
+    per chip."""
+    nx, deg = 16, 3
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    ddh = DDH(omega, np.ones(fem.ndof), fem, nx=nx, ny=nx, block_size=8, wh_maxit=1)
+    rng = np.random.default_rng(5)
+    lam = jnp.asarray(rng.standard_normal(ddh.size), jnp.float32)
+    ddh.precompute_transfer()
+    assert ddh.route is not None
+    want = np.asarray(ddh.action(lam))
+
+    sddh = ShardedDDH(ddh, mesh8)
+    assert sddh._roll_data is not None, "halo-exchange path must engage"
+    got = np.asarray(sddh.action(lam))
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() < 1e-5 * scale
+
+
 def test_sharded_ddh_gmres_step(mesh8):
     """A full substructured GMRES solve through the sharded action."""
     nx, deg = 8, 3
