@@ -29,6 +29,9 @@ class ProblemConfig:
     wh_maxit: int = 5
     rhs_split: str = "full"
     n_domains: int | None = None  # for unstructured partitions
+    # precompute per-subdomain trace-transfer matrices (the production DDH
+    # matvec; pays ~2*pf wave-cycle columns once, wins above ~2*pf matvecs)
+    transfer: bool = True
 
     @property
     def omega(self) -> float:

@@ -105,10 +105,11 @@ def run_config(cfg, **overrides) -> DriverResult:
             return run_ddh(
                 nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
                 mesh=mesh, element_labels=labels, wh_maxit=cfg.wh_maxit,
+                transfer=cfg.transfer,
             )
         return run_ddh(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
-            wh_maxit=cfg.wh_maxit,
+            wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
         )
     raise ValueError(f"unknown config kind: {cfg.kind}")
 

@@ -498,8 +498,17 @@ class DDH:
         S_u = p.S if p.S.ndim == 2 else p.S[jnp.asarray(uidx)]
 
         if chunk is None:
-            # bound the batched-cycle working set to ~128 MB of fp32 rows
-            chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
+            if S_u.ndim == 3:
+                # per-domain S is tiled across columns: every time step then
+                # reads c*nu dense (pad, pad) matrices, so bound that stack
+                # (~32 MB fp32) or the cycle turns HBM-bound instead of
+                # latency-bound
+                chunk = int(
+                    max(1, min(ncols, (1 << 23) // max(1, nu * pad * pad)))
+                )
+            else:
+                # shared S: bound the fp32 state rows to ~128 MB
+                chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
         use_pallas = self._use_pallas()
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 

@@ -30,6 +30,36 @@ import jax.numpy as jnp
 from jax import lax
 
 
+class ProgressBar:
+    """Reference-parity progress bar for host-loop solves (gmres.cpp:44-64).
+
+    Prints a fixed-width bar advanced by ``update(fraction)``; used by
+    ``gmres_host`` at verbosity 1 (verbosity >= 2 prints per-restart lines).
+    """
+
+    def __init__(self, width: int = 40):
+        self.width = width
+        self._drawn = -1
+
+    def update(self, fraction: float) -> None:
+        import sys
+
+        fraction = min(max(fraction, 0.0), 1.0)
+        n = int(self.width * fraction)
+        if n != self._drawn:
+            self._drawn = n
+            bar = "#" * n + "-" * (self.width - n)
+            sys.stdout.write(f"\r[{bar}] {100 * fraction:5.1f}%")
+            sys.stdout.flush()
+
+    def finish(self) -> None:
+        import sys
+
+        self.update(1.0)
+        sys.stdout.write("\n")
+        sys.stdout.flush()
+
+
 class GmresResult(NamedTuple):
     x: jax.Array
     success: jax.Array  # bool
@@ -281,6 +311,13 @@ def gmres_host(
     t0 = _time.perf_counter()
     it = 0
     success = r_nrm < tol_bnrm
+    # reference verbosity levels (gmres.cpp:44-64,205-213): 1 = progress bar
+    # toward the convergence target, >= 2 = one line per restart
+    bar = ProgressBar() if verbose == 1 else None
+    import math as _math
+
+    log_start = _math.log(max(r_nrm, 1e-300))
+    log_goal = _math.log(max(tol_bnrm, 1e-300))
     while not success and it < maxit - 1:
         x, r, r_nrm_dev, nmv = restart(x, r, jnp.asarray(r_nrm, dtype))
         r_nrm = float(r_nrm_dev)
@@ -288,7 +325,12 @@ def gmres_host(
         it += 1
         hist.append(r_nrm)
         times.append(_time.perf_counter() - t0)
-        if verbose:
+        if bar is not None:
+            prog = (log_start - _math.log(max(r_nrm, 1e-300))) / max(
+                log_start - log_goal, 1e-300
+            )
+            bar.update(max(prog, it / maxit))
+        elif verbose:
             print(
                 f"iteration {it:6d} / {maxit} || rel. res. = "
                 f"{r_nrm / max(float(bnrm), 1e-300):.5e}",
@@ -297,6 +339,8 @@ def gmres_host(
         success = r_nrm < tol_bnrm
         if times[-1] > max_seconds:
             break
+    if bar is not None:
+        bar.finish()
 
     res = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[: len(hist)].set(
         jnp.asarray(hist, dtype)
