@@ -233,6 +233,7 @@ class ShardedDDH:
         # lambda update with a big psum.  Requires every route offset to fit
         # within one chip's subdomain block.
         self.route_offs = ()
+        self.route_perms = ()
         self._roll_data = None
         if ddh.use_transfer and ddh.route is not None:
             route = ddh.route
@@ -249,8 +250,9 @@ class ShardedDDH:
                         A_full[spec] += np.asarray(route.A_spec)
                 masks = np.asarray(route.masks)
                 masks = np.pad(masks, ((0, 0), (0, ndom_pad - ndom), (0, 0)))
-                # per-shard padded irregular lists (local flat src in the
-                # permuted half, global lambda target)
+                # per-shard padded irregular lists (local flat sender index
+                # per half, global lambda target; globally target-sorted so
+                # each shard's list stays sorted)
                 irr_src = np.asarray(route.irr_src)
                 irr_tgt = np.asarray(route.irr_tgt)
                 shard_of = (irr_src // pf2) // ndom_local
@@ -265,6 +267,7 @@ class ShardedDDH:
                     irr_t[s_, fill[s_]] = tgt_
                     fill[s_] += 1
                 self.route_offs = tuple(offs)
+                self.route_perms = tuple(ddh.route_perms)
                 self._roll_data = (
                     place_rows(jnp.asarray(A_full, jnp.float32)),
                     jax.device_put(
@@ -336,6 +339,7 @@ class ShardedDDH:
 
         if self._roll_data is not None:
             offs_ = self.route_offs
+            perms_ = self.route_perms
             perm_fwd = [(i, (i + 1) % n) for i in range(n)]
             perm_bwd = [(i, (i - 1) % n) for i in range(n)]
             pf_ = pf
@@ -369,10 +373,11 @@ class ShardedDDH:
                 )
                 x = jnp.concatenate([lam0, mu0], axis=1).astype(A.dtype)
                 u2 = jnp.einsum("dik,dk->di", A, x, precision="highest")
+                u2p = jnp.pad(u2, ((0, 0), (0, 1)))  # zero col for dead slots
                 L = u2.shape[0]
                 out_loc = jnp.zeros_like(u2)
-                for i, off in enumerate(offs_):
-                    mu_ = masks[i] * u2
+                for i, (off, perm) in enumerate(zip(offs_, perms_)):
+                    mu_ = masks[i] * u2p
                     if off > 0:
                         recv = jax.lax.ppermute(mu_[L - off :], axis_, perm_fwd)
                         shifted = jnp.concatenate([recv, mu_[: L - off]], axis=0)
@@ -381,7 +386,7 @@ class ShardedDDH:
                         shifted = jnp.concatenate([mu_[-off:], recv], axis=0)
                     else:
                         shifted = mu_
-                    out_loc = out_loc + shifted
+                    out_loc = out_loc + shifted[:, np.asarray(perm)]
                 full = jax.lax.all_gather(out_loc, axis_, tiled=True)
                 out_l = jnp.concatenate(
                     [
@@ -399,10 +404,10 @@ class ShardedDDH:
                 vals_l = u2[:, :pf_].reshape(-1)[ls].astype(lam.dtype)
                 vals_m = u2[:, pf_:].reshape(-1)[ls].astype(lam.dtype)
                 addl = jnp.zeros(n_lambda + 1, lam.dtype).at[tg].add(
-                    vals_l, mode="drop"
+                    vals_l, mode="drop", indices_are_sorted=True
                 )[:n_lambda]
                 addm = jnp.zeros(n_lambda + 1, lam.dtype).at[tg].add(
-                    vals_m, mode="drop"
+                    vals_m, mode="drop", indices_are_sorted=True
                 )[:n_lambda]
                 out_l = out_l + jax.lax.psum(addl, axis_)
                 out_m = out_m + jax.lax.psum(addm, axis_)

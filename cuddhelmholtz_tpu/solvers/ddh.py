@@ -380,6 +380,7 @@ class DDH:
         self.use_transfer = False
         self.route: RollRoute | None = None
         self.route_offs: tuple = ()
+        self.route_perms: tuple = ()
 
         # Forcing split across subdomains.  The reference feeds the FULL
         # global rhs row to every subdomain that touches it (DDH.cpp:209-212),
@@ -420,7 +421,12 @@ class DDH:
         """y = lambda - S(lambda): the GMRES operator (DDH.cpp:611-639)."""
         if self.use_transfer and self.route is not None:
             return ddh_action_transfer_rolled(
-                self.params, self.route, lam, self.n_own, self.route_offs
+                self.params,
+                self.route,
+                lam,
+                self.n_own,
+                self.route_offs,
+                self.route_perms,
             )
         if self.use_transfer and self.T is not None:
             return ddh_action_transfer(self.params, self.T, lam, self.n_own)
@@ -560,7 +566,7 @@ class DDH:
             self.T, np.asarray(self.params.B1), self.n_own, groups=inv
         )
         if built is not None:
-            self.route, self.route_offs = built
+            self.route, self.route_offs, self.route_perms = built
         return self.T
 
     def rhs(self, f: jax.Array) -> jax.Array:
@@ -602,17 +608,21 @@ class RollRoute(NamedTuple):
 
     Discovered generically from the B1 dual table: sender slot k of domain d
     routing to slot sigma(k) of domain d+off for a fixed flat offset ``off``
-    (uniform for all domains) can be exchanged with an elementwise mask and a
-    ``jnp.roll`` -- pure HBM-bandwidth ops -- instead of a per-element
-    scatter.  ``A`` is the transfer matrix with the identity terms folded in
-    and rows PERMUTED so each sender's update already sits at its target
-    slot column; the few senders that don't fit a uniform route (subdomain
-    corners, partition boundary quirks) go through one small scatter.
+    can be exchanged with an elementwise mask, a ``jnp.roll`` over the
+    domain axis, and a STATIC column gather placing each sender slot at its
+    target slot -- pure HBM-bandwidth ops instead of a per-element scatter.
+    Several routes may share one offset (each with its own slot map), so
+    every sender whose (offset, slot, target-slot) pattern repeats across
+    domains is covered; on a structured partition that is ALL of them.
+    ``A`` is the transfer matrix with the identity terms folded in, rows at
+    the sender slots.  The remainder (writes to overwritten-corner tail ids,
+    plus irregular senders on unstructured partitions) goes through one
+    small sorted scatter.
     """
 
-    A: jax.Array | None  # (ndom, 2pf, 2pf) row-permuted -I -/+ T (dense form)
-    masks: jax.Array  # (n_off, ndom, 2pf) 0/1 uniform-sender masks (permuted)
-    irr_src: jax.Array  # (n_irr,) int32 into the permuted (ndom*pf) half
+    A: jax.Array | None  # (ndom, 2pf, 2pf) identity-folded -I -/+ T
+    masks: jax.Array  # (n_route, ndom, 2pf+1) 0/1 sender masks (pad col = 0)
+    irr_src: jax.Array  # (n_irr,) int32 flat (ndom*pf) sender index per half
     irr_tgt: jax.Array  # (n_irr,) int32 into the n_lambda-sized side vector
     # majority split (set when >= half the domains share one matrix): the
     # batched matmul becomes one SHARED (2pf, 2pf) matmul + one-hot-selected
@@ -621,25 +631,29 @@ class RollRoute(NamedTuple):
     A0: jax.Array | None  # (2pf, 2pf) shared majority matrix
     A_spec: jax.Array | None  # (nspec, 2pf, 2pf) corrections A[spec] - A0
     S_sel: jax.Array | None  # (nspec, ndom) 0/1 row selector
-    # the flat domain offsets (one per mask row) are passed separately as a
-    # STATIC tuple so the rolls compile to fixed shifts
+    # the flat domain offsets and target<-source column maps (one per mask
+    # row) are passed separately as STATIC tuples so the rolls compile to
+    # fixed shifts and the column gathers to layout copies
 
 
 def _build_roll_route(
     T: np.ndarray | jax.Array,
     B1_np: np.ndarray,
     n_own: int,
-    max_offsets: int = 8,
+    max_routes: int = 16,
     min_uniform_frac: float = 0.5,
     groups: np.ndarray | None = None,
-) -> tuple[RollRoute, tuple] | None:
-    """Discover uniform (offset, slot-map) routes in B1 and build a RollRoute.
+) -> tuple[RollRoute, tuple, tuple] | None:
+    """Discover (offset, slot-map) routes in B1 and build a RollRoute.
 
-    Returns None when fewer than ``min_uniform_frac`` of the senders fit a
-    uniform route (e.g. very irregular partitions), in which case the
-    scatter exchange stays in use.
+    Senders are grouped by (domain offset, sender slot, target slot); groups
+    sharing an offset pack greedily into routes with injective slot maps.
+    Returns ``(route, offs, perms)`` with ``offs``/``perms`` static tuples,
+    or None when fewer than ``min_uniform_frac`` of the senders fit a route
+    (very irregular partitions), in which case the scatter exchange stays in
+    use.
     """
-    from collections import Counter
+    from collections import defaultdict
 
     ndom, pf = B1_np.shape
     d = np.repeat(np.arange(ndom), pf)
@@ -650,75 +664,61 @@ def _build_roll_route(
     td, tk = np.divmod(np.where(own_t, t, 0), pf)
     off_all = td - d
 
-    routes = []  # (off, sigma (pf,), mask (ndom*pf,))
-    rest = send.copy()
-    used_cols = np.zeros(pf, bool)  # target slots already owned by a sender
-    used_rows = np.zeros(pf, bool)  # sender slots already claimed by a route
-    cnt = Counter(off_all[own_t].tolist())
-    for o, _ in cnt.most_common(max_offsets):
-        sel = own_t & (off_all == o) & rest & ~used_rows[k]
-        if not sel.any():
-            continue
-        # majority target slot per sender slot; each sender slot belongs to at
-        # most one route (its value sits at ONE permuted column of A), and
-        # each target column is owned by at most one sender slot
-        sigma = np.full(pf, -1, np.int64)
-        for kk in np.unique(k[sel]):
-            skk = sel & (k == kk)
-            vals, c = np.unique(tk[skk], return_counts=True)
-            order = np.argsort(-c)
-            for v in vals[order]:
-                if not used_cols[v]:
-                    sigma[kk] = v
-                    used_cols[v] = True
-                    used_rows[kk] = True
-                    break
-        match = sel & (sigma[k] == tk) & (sigma[k] >= 0)
-        if not match.any():
-            continue
-        routes.append((int(o), sigma, match))
-        rest &= ~match
+    # group senders by (offset, sender slot, target slot)
+    flat = np.nonzero(own_t)[0]
+    grp: dict = defaultdict(list)
+    for idx in flat:
+        grp[(int(off_all[idx]), int(k[idx]), int(tk[idx]))].append(int(idx))
 
-    n_uniform = int(sum(m.sum() for _, _, m in routes))
+    # pack groups into routes: per route one offset + an injective slot map
+    per_off: dict = defaultdict(list)  # off -> [(used_k, used_t, members)]
+    for (o, kk, tt), idxs in sorted(grp.items(), key=lambda kv: -len(kv[1])):
+        for sk, st, members in per_off[o]:
+            if kk not in sk and tt not in st:
+                sk.add(kk)
+                st.add(tt)
+                members[kk] = (tt, idxs)
+                break
+        else:
+            per_off[o].append(({kk}, {tt}, {kk: (tt, idxs)}))
+
+    route_list = [
+        (o, members) for o, lst in per_off.items() for _, _, members in lst
+    ]
+    route_list.sort(key=lambda om: -sum(len(v[1]) for v in om[1].values()))
+    route_list = route_list[:max_routes]
+
+    covered = np.zeros(ndom * pf, bool)
+    offs: list[int] = []
+    perms: list[tuple] = []
+    masks = np.zeros((len(route_list), ndom, 2 * pf + 1), np.float32)
+    for i, (o, members) in enumerate(route_list):
+        # column map: target slot c <- sender slot perm[c]; uncovered target
+        # slots read the zero pad column (index 2pf)
+        perm = np.full(2 * pf, 2 * pf, np.int64)
+        for kk, (tt, idxs) in members.items():
+            perm[tt] = kk
+            perm[pf + tt] = pf + kk
+            ii = np.asarray(idxs, np.int64)
+            masks[i, ii // pf, kk] = 1.0
+            masks[i, ii // pf, pf + kk] = 1.0
+            covered[ii] = True
+        offs.append(int(o))
+        perms.append(tuple(int(c) for c in perm))
+
+    n_uniform = int(covered.sum())
     if n_uniform < min_uniform_frac * int(send.sum()):
         return None
 
-    # full slot permutation P: uniform sender slot k -> sigma(k); leftovers
-    # fill the remaining columns in order
-    P = np.full(pf, -1, np.int64)
-    taken = np.zeros(pf, bool)
-    for _, sigma, _ in routes:
-        ok = sigma >= 0
-        P[ok] = sigma[ok]
-        taken[sigma[ok]] = True
-    free_cols = np.nonzero(~taken)[0]
-    free_rows = np.nonzero(P < 0)[0]
-    P[free_rows] = free_cols
-    P2 = np.concatenate([P, pf + P])  # both (lambda, mu) halves
-
-    # A = row-permuted (-I -/+ T): row i<pf gives -x_l - w_l, row i>=pf
-    # gives -x_m + w_m, already at its target slot column
+    # A = identity-folded (-I -/+ T), rows at the sender slots:
+    # row i<pf gives -x_l - w_l, row i>=pf gives -x_m + w_m
     T = np.asarray(T)
     A = np.concatenate([-T[:, :pf, :], T[:, pf:, :]], axis=1)
     A[:, np.arange(2 * pf), np.arange(2 * pf)] -= 1.0
-    # place old row k at new row P2[k]:  u2[:, P2[k]] == u[:, k]
-    A = A[:, np.argsort(P2), :]
 
-    masks = np.zeros((len(routes), ndom, 2 * pf), np.float32)
-    offs = []
-    for i, (o, sigma, match) in enumerate(routes):
-        mk = match.reshape(ndom, pf)
-        cols = P[np.arange(pf)]
-        m2 = np.zeros((ndom, 2 * pf), np.float32)
-        # sender (d, k) now lives at permuted column P[k] (and pf + P[k])
-        m2[:, cols] = mk
-        m2[:, pf + cols] = mk
-        masks[i] = m2
-        offs.append(o)
-
-    irr = np.nonzero(rest)[0]
-    irr_d, irr_k = np.divmod(irr, pf)
-    irr_src = (irr_d * pf + P[irr_k]).astype(np.int32)  # into permuted half
+    irr = np.nonzero(send & ~covered)[0]
+    irr = irr[np.argsort(t[irr], kind="stable")]  # sorted scatter targets
+    irr_src = irr.astype(np.int32)
     irr_tgt = t[irr].astype(np.int32)
 
     # majority split: one shared matrix + one-hot-selected corrections
@@ -747,7 +747,7 @@ def _build_roll_route(
         A_spec=A_spec,
         S_sel=S_sel,
     )
-    return route, tuple(offs)
+    return route, tuple(offs), tuple(perms)
 
 
 # ---------------------------------------------------------------- pure kernels
@@ -973,23 +973,8 @@ def _transfer_update(
     return jnp.concatenate([out_l, out_m])
 
 
-@partial(jax.jit, static_argnames=("n_own", "offs"))
-def ddh_action_transfer_rolled(
-    params: DDHParams, route: RollRoute, lam: jax.Array, n_own: int, offs: tuple
-):
-    """lambda - S(lambda) with the roll-based trace exchange.
-
-    One batched (ndom, 2pf) @ (2pf, 2pf) matmul against the row-permuted,
-    identity-folded transfer matrix; uniform sender groups are routed with
-    elementwise masks + ``jnp.roll`` over the domain axis (HBM-bandwidth
-    ops), the irregular remainder (subdomain corners etc.) with one small
-    scatter per side.  Algebraically identical to ``ddh_action_transfer``.
-    """
-    n_lambda = lam.shape[0] // 2
-    ndom, pf = params.B0.shape
-    lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
-    dt_A = route.A0.dtype if route.A0 is not None else route.A.dtype
-    x = jnp.concatenate([lam0, mu0], axis=1).astype(dt_A)
+def _transfer_matmul(route: RollRoute, x: jax.Array) -> jax.Array:
+    """u2 = A x batched over subdomains (shared-majority split when set)."""
     if route.A0 is not None:
         # shared majority matmul + one-hot-selected per-domain corrections
         u2 = jax.lax.dot_general(
@@ -1003,11 +988,39 @@ def ddh_action_transfer_rolled(
             u2 = u2 + jax.lax.dot_general(
                 route.S_sel, ws, (((0,), (0,)), ((), ())), precision="highest"
             )
-    else:
-        u2 = jnp.einsum("dik,dk->di", route.A, x, precision="highest")
+        return u2
+    return jnp.einsum("dik,dk->di", route.A, x, precision="highest")
+
+
+@partial(jax.jit, static_argnames=("n_own", "offs", "perms"))
+def ddh_action_transfer_rolled(
+    params: DDHParams,
+    route: RollRoute,
+    lam: jax.Array,
+    n_own: int,
+    offs: tuple,
+    perms: tuple,
+):
+    """lambda - S(lambda) with the roll-based trace exchange.
+
+    One batched (ndom, 2pf) @ (2pf, 2pf) matmul against the identity-folded
+    transfer matrix; sender groups are routed with elementwise masks +
+    ``jnp.roll`` over the domain axis + a static column gather per route
+    (HBM-bandwidth ops), the remainder (tail writes, irregular senders) with
+    one small sorted scatter per side.  Algebraically identical to
+    ``ddh_action_transfer``.
+    """
+    n_lambda = lam.shape[0] // 2
+    ndom, pf = params.B0.shape
+    lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
+    dt_A = route.A0.dtype if route.A0 is not None else route.A.dtype
+    x = jnp.concatenate([lam0, mu0], axis=1).astype(dt_A)
+    u2 = _transfer_matmul(route, x)
+    u2p = jnp.pad(u2, ((0, 0), (0, 1)))  # zero pad column for dead slots
     out_own = jnp.zeros_like(u2)
-    for i, off in enumerate(offs):
-        out_own = out_own + jnp.roll(route.masks[i] * u2, off, axis=0)
+    for i, (off, perm) in enumerate(zip(offs, perms)):
+        mu = route.masks[i] * u2p
+        out_own = out_own + jnp.roll(mu, off, axis=0)[:, np.asarray(perm)]
     n_lost = n_lambda - n_own
     tail = jnp.zeros(n_lost, dtype=lam.dtype)
     out_l = jnp.concatenate([out_own[:, :pf].reshape(-1).astype(lam.dtype), tail])
@@ -1015,8 +1028,12 @@ def ddh_action_transfer_rolled(
     if route.irr_src.shape[0] > 0:
         vals_l = u2[:, :pf].reshape(-1)[route.irr_src].astype(lam.dtype)
         vals_m = u2[:, pf:].reshape(-1)[route.irr_src].astype(lam.dtype)
-        out_l = out_l.at[route.irr_tgt].set(vals_l, mode="drop", unique_indices=True)
-        out_m = out_m.at[route.irr_tgt].set(vals_m, mode="drop", unique_indices=True)
+        out_l = out_l.at[route.irr_tgt].set(
+            vals_l, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        out_m = out_m.at[route.irr_tgt].set(
+            vals_m, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
     return lam - jnp.concatenate([out_l, out_m])
 
 
