@@ -29,6 +29,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Precision for the (m+1, n) orthogonalisation/update matvecs.  The package
+# default is "highest" (6-pass bf16 emulation), which these matrix-vector
+# contractions do not need: XLA's matvec path accumulates in fp32 at every
+# precision (measured max rel err 2.3e-7 vs float64 for highest/high/default
+# alike at m=200, n=296k), while "highest" costs 5.6x the wall time
+# (17.1 -> 3.1 ms per CGS pair on TPU v5e).  "high" (3-pass, error
+# compensated) is kept as a safety margin at zero measured cost over default.
+_MV_PRECISION = "high"
+
+
+def _mv(A, x):
+    """A @ x with the solver's matvec precision."""
+    return jnp.matmul(A, x, precision=_MV_PRECISION)
+
 
 class ProgressBar:
     """Reference-parity progress bar for host-loop solves (gmres.cpp:44-64).
@@ -92,11 +106,11 @@ def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True):
         # traffic at a loss of orthogonality quality -- fine for
         # well-conditioned systems, like the reference's single-pass scheme.
         Vk = V[: k + 1] if static_k else V
-        h = Vk @ w
-        w = w - Vk.T @ h
+        h = _mv(Vk, w)
+        w = w - _mv(Vk.T, h)
         if reorth:
-            h2 = Vk @ w
-            w = w - Vk.T @ h2
+            h2 = _mv(Vk, w)
+            w = w - _mv(Vk.T, h2)
             h = h + h2
         if static_k:
             h = jnp.concatenate([h, jnp.zeros(m1 - k - 1, dtype)])
@@ -209,7 +223,7 @@ def gmres(
         # padded upper-triangular solve: frozen columns are identity with a
         # zero rhs, so their solution components vanish
         y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
-        x = x + V[:m].T @ y
+        x = x + _mv(V[:m].T, y)
         r = b - inner_matvec(x)
         nmv = nmv + 1
         r_nrm = jnp.linalg.norm(r)
@@ -298,7 +312,7 @@ def gmres_host(
         else:
             V, Q, R, eta, _, nmv = lax.fori_loop(0, m, step, carry)
         y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
-        x = x + V[:m].T @ y
+        x = x + _mv(V[:m].T, y)
         r = b - inner(x)
         return x, r, jnp.linalg.norm(r), nmv + 1
 
