@@ -34,6 +34,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..models.helmholtz import HelmholtzOp
+from ..ops.face_mass import apply_face_mass
 from ..ops.mass import MassOp
 from ..ops.stiffness import StiffnessOp, apply_stiffness
 from ..solvers.ddh import (
@@ -125,6 +127,121 @@ def sharded_stiffness_apply(op: StiffnessOp, mesh: Mesh, axis: str = "shard"):
         sharded_op.dofs, sharded_op.P, sharded_op.D, sharded_op.A, sharded_op.B,
         sharded_op.C, x,
     )
+
+
+def shard_mass_op(op: MassOp, mesh: Mesh, axis: str = "shard") -> MassOp:
+    """Row-shard the element-batched arrays of a (weighted) mass operator."""
+    n = mesh.shape[axis]
+    nel = op.dofs.shape[0]
+    nel_pad = ((nel + n - 1) // n) * n
+    sh = NamedSharding(mesh, P(axis))
+    dofs = jnp.asarray(op.dofs)
+    if nel_pad != nel:
+        fill = jnp.full((nel_pad - nel,) + op.dofs.shape[1:], op.ndof, jnp.int32)
+        dofs = jnp.concatenate([dofs, fill])
+    return MassOp(
+        dofs=jax.device_put(dofs, sh),
+        P=op.P,
+        wdetj=jax.device_put(_pad_rows(op.wdetj, nel_pad), sh),
+        ndof=op.ndof,
+    )
+
+
+def sharded_mass_apply(op: MassOp, mesh: Mesh, axis: str = "shard"):
+    """Build a jittable y = M x with elements sharded over ``mesh``."""
+    ndof = op.ndof
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P()),
+        out_specs=P(),
+    )
+    def apply_fn(dofs, Pq, wdetj, x):
+        xe = jnp.take(x, dofs, axis=0, mode="fill", fill_value=0.0)
+        t = jnp.einsum("qi,eji->ejq", Pq, xe)
+        u = jnp.einsum("rj,ejq->erq", Pq, t) * wdetj
+        t = jnp.einsum("qi,erq->eri", Pq, u)
+        ye = jnp.einsum("rj,eri->eji", Pq, t)
+        y = jnp.zeros(ndof + 1, x.dtype).at[dofs.reshape(-1)].add(
+            ye.reshape(-1), mode="drop"
+        )[:ndof]
+        return jax.lax.psum(y, axis)
+
+    return lambda sharded_op, x: apply_fn(
+        sharded_op.dofs, sharded_op.P, sharded_op.wdetj, x
+    )
+
+
+def sharded_helmholtz_matvec(
+    op: HelmholtzOp, mesh: Mesh, axis: str = "shard"
+) -> Callable:
+    """Element-sharded coupled Helmholtz action (the global-system analog of
+    ShardedDDH for BASELINE config 5: high-frequency sweep, multi-host
+    partitioned).
+
+    The stiffness and weighted-mass element batches are row-sharded; one
+    ``shard_map`` computes both volume partials for the stacked (u, v) pair
+    and combines them with a single ``psum`` of a (2, ndof) stack over ICI.
+    The face-mass boundary terms act on O(sqrt(ndof)) DOFs and stay
+    replicated.  Returns a jittable ``U -> A U`` closure over the sharded
+    operator data; U is replicated (the GMRES basis layout).
+    """
+    sop = shard_stiffness_op(op.stiffness, mesh, axis)
+    mop = shard_mass_op(op.mass, mesh, axis)
+    ndof = op.ndof
+    w2 = op.omega * op.omega
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(), P(), P(axis), P(axis), P(axis),  # stiffness
+            P(axis), P(), P(axis),  # mass
+            P(),  # UV (2, ndof) replicated
+        ),
+        out_specs=P(),
+    )
+    def volume_fn(sd, Pm, Dm, A, B, C, md, Pq, wdetj, UV):
+        xs = jnp.take(UV, sd, axis=1, mode="fill", fill_value=0.0)  # (2,e,j,i)
+        tP = jnp.einsum("qi,ceji->cejq", Pm, xs)
+        tD = jnp.einsum("qi,ceji->cejq", Dm, xs)
+        ux = jnp.einsum("rj,cejq->cerq", Pm, tD)
+        uy = jnp.einsum("rj,cejq->cerq", Dm, tP)
+        fx = A * ux + B * uy
+        fy = B * ux + C * uy
+        sx = jnp.einsum("qi,cerq->ceri", Dm, fx)
+        sy = jnp.einsum("qi,cerq->ceri", Pm, fy)
+        ys = jnp.einsum("rj,ceri->ceji", Pm, sx) + jnp.einsum(
+            "rj,ceri->ceji", Dm, sy
+        )
+        xm = jnp.take(UV, md, axis=1, mode="fill", fill_value=0.0)
+        t = jnp.einsum("qi,ceji->cejq", Pq, xm)
+        um = jnp.einsum("rj,cejq->cerq", Pq, t) * wdetj
+        t = jnp.einsum("qi,cerq->ceri", Pq, um)
+        ym = jnp.einsum("rj,ceri->ceji", Pq, t)
+        y = jnp.zeros((2, ndof + 1), UV.dtype)
+        y = y.at[:, sd.reshape(-1)].add(ys.reshape(2, -1), mode="drop")
+        y = y.at[:, md.reshape(-1)].add(
+            (-w2 * ym).reshape(2, -1), mode="drop"
+        )
+        return jax.lax.psum(y[:, :ndof], axis)
+
+    def matvec(U):
+        UV = jnp.stack([U[:ndof], U[ndof:]])
+        Y = volume_fn(
+            sop.dofs, sop.P, sop.D, sop.A, sop.B, sop.C,
+            mop.dofs, mop.P, mop.wdetj, UV,
+        )
+        uf = jnp.take(U[:ndof], op.face_proj)
+        vf = jnp.take(U[ndof:], op.face_proj)
+        Hu = apply_face_mass(op.face_mass, uf)
+        Hv = apply_face_mass(op.face_mass, vf)
+        Au = Y[0].at[op.face_proj].add(-op.omega * Hv)
+        Av = -(Y[1].at[op.face_proj].add(op.omega * Hu))
+        return jnp.concatenate([Au, Av])
+
+    return matvec
 
 
 class ShardedDDH:

@@ -12,16 +12,20 @@ import numpy as np
 import pytest
 
 from cuddhelmholtz_tpu.mesh.mesh2d import Mesh2D
+from cuddhelmholtz_tpu.ops.mass import apply_mass, make_mass_op
 from cuddhelmholtz_tpu.ops.stiffness import apply_stiffness, make_stiffness_op
 from cuddhelmholtz_tpu.parallel.sharding import (
     ShardedDDH,
     device_mesh,
+    shard_mass_op,
     shard_stiffness_op,
+    sharded_helmholtz_matvec,
+    sharded_mass_apply,
     sharded_stiffness_apply,
 )
 from cuddhelmholtz_tpu.solvers.ddh import DDH
 from cuddhelmholtz_tpu.solvers.gmres import gmres
-from cuddhelmholtz_tpu.spaces.h1 import H1Space
+from cuddhelmholtz_tpu.spaces.h1 import FaceSpace, H1Space
 from cuddhelmholtz_tpu.utils.basis import Basis
 
 
@@ -43,6 +47,61 @@ def test_sharded_stiffness_matches(mesh8):
     apply_fn = sharded_stiffness_apply(op, mesh8)
     got = apply_fn(sop, x)
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_sharded_mass_matches(mesh8):
+    mesh = Mesh2D.uniform_rect(10, -1, 1, 10, -1, 1)
+    fem = H1Space(mesh, Basis(4))
+    rng = np.random.default_rng(7)
+    a = 1.0 + 0.5 * rng.random(fem.ndof)
+    op = make_mass_op(fem, coeff=a)
+    x = jnp.asarray(rng.standard_normal(fem.ndof))
+
+    want = apply_mass(op, x)
+    sop = shard_mass_op(op, mesh8)
+    apply_fn = sharded_mass_apply(op, mesh8)
+    got = apply_fn(sop, x)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_sharded_helmholtz_matvec_matches(mesh8):
+    """Element-sharded coupled Helmholtz action == the single-device action,
+    and a short sharded GMRES reproduces the single-device trajectory."""
+    from cuddhelmholtz_tpu.models.helmholtz import (
+        apply_helmholtz,
+        make_helmholtz_op,
+        project_coefficients,
+    )
+
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+
+    def coeff(xy):
+        r = xy[..., 0] ** 2 + xy[..., 1] ** 2
+        return jnp.where(r < 0.0625, 0.2, 1.0)
+
+    a2, af = project_coefficients(fem, fs, coeff)
+    op = make_helmholtz_op(omega, a2, af, fem, fs)
+
+    rng = np.random.default_rng(11)
+    U = jnp.asarray(rng.standard_normal(2 * fem.ndof))
+    want = apply_helmholtz(op, U)
+    matvec = sharded_helmholtz_matvec(op, mesh8)
+    got = matvec(U)
+    scale = np.abs(np.asarray(want)).max()
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-11 * scale
+
+    b = jnp.zeros(2 * fem.ndof).at[: fem.ndof].set(
+        jnp.asarray(rng.standard_normal(fem.ndof))
+    )
+    out = gmres(matvec, b, m=10, maxit=3, tol=1e-10)
+    ref = gmres(lambda u: apply_helmholtz(op, u), b, m=10, maxit=3, tol=1e-10)
+    h1 = np.asarray(out.res_norm)[: int(out.n_hist)]
+    h2 = np.asarray(ref.res_norm)[: int(ref.n_hist)]
+    assert np.allclose(h1, h2, rtol=1e-9)
 
 
 def test_sharded_ddh_matches(mesh8):
