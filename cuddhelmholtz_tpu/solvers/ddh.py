@@ -313,12 +313,18 @@ class DDH:
         detj = metrics.measures.transpose(0, 2, 1)  # (nel, iy, ix)
         w2 = np.outer(quad.w, quad.w)
 
-        m_sub = np.zeros((n_domains, pad))
-        for p in range(n_domains):
-            nelp = efem.n_elems[p]
-            gels = efem.elems[p, :nelp]
-            vals = (w2[None] * detj[gels]).reshape(-1)
-            np.add.at(m_sub[p], local_dofs_perm[p, :nelp].reshape(-1), vals)
+        # lumped subdomain mass: one flat scatter-add over every (domain,
+        # element) pair (padded elements contribute masked zeros at slot 0)
+        emask = efem.elems >= 0  # (nd, mx_e)
+        gels = np.maximum(efem.elems, 0)
+        mvals = (w2[None, None] * detj[gels]) * emask[:, :, None, None]
+        mslots = np.maximum(local_dofs_perm, 0)  # (nd, mx_e, nb, nb)
+        mflat = (
+            np.arange(n_domains, dtype=np.int64)[:, None, None, None] * pad + mslots
+        )
+        m_sub = np.zeros(n_domains * pad)
+        np.add.at(m_sub, mflat.reshape(-1), mvals.reshape(-1))
+        m_sub = m_sub.reshape(n_domains, pad)
 
         gmi = 1.0 / lumped_mass_diagonal(space)
         a_nodal = np.asarray(a_nodal, dtype=np.float64)
@@ -326,16 +332,22 @@ class DDH:
         a_sub = np.where(valid, a_nodal[np.maximum(gI, 0)], 0.0)
         gmi_sub = np.where(valid, gmi[np.maximum(gI, 0)], 0.0)
 
-        H_sub = np.zeros((n_domains, pad))
+        # face damping H: same flat scatter-add over (domain, face, node)
+        H_sub = np.zeros(n_domains * pad)
         edge_meas = 0.5 * mesh.edge_lengths()
-        for p in range(n_domains):
-            nf = efem.n_faces[p]
-            if nf == 0:
-                continue
-            es = efem.faces[p, :nf]
-            vals = (edge_meas[es][:, None] * quad.w[None, :]).reshape(-1)
-            slots = efem.pI[p, efem.fI[p, :nf].reshape(-1)]
-            np.add.at(H_sub[p], slots, vals)
+        if efem.mx_faces > 0:
+            es = np.maximum(efem.faces, 0)  # (nd, mx_f)
+            fvals = edge_meas[es][:, :, None] * quad.w[None, None, :]
+            ok = efem.fI >= 0  # padded faces/nodes carry -1
+            fvals = np.where(ok, fvals, 0.0).reshape(n_domains, -1)
+            fidx = np.maximum(efem.fI, 0).reshape(n_domains, -1)
+            fslots = np.take_along_axis(efem.pI, fidx, axis=1)
+            fslots = np.where(
+                ok.reshape(n_domains, -1), np.maximum(fslots, 0), 0
+            )
+            fflat = np.arange(n_domains, dtype=np.int64)[:, None] * pad + fslots
+            np.add.at(H_sub, fflat.reshape(-1), fvals.reshape(-1))
+        H_sub = H_sub.reshape(n_domains, pad)
 
         with np.errstate(divide="ignore"):
             inv_mi = np.where(valid, 1.0 / (a_sub**2 * np.where(valid, m_sub, 1.0)), 0.0)
@@ -722,24 +734,26 @@ def _build_roll_route(
     irr_tgt = t[irr].astype(np.int32)
 
     # majority split: one shared matrix + one-hot-selected corrections
+    # (arrays keep T's dtype so an fp64 DDH stays fp64 through the exchange)
+    dt = np.asarray(T).dtype
     A0 = A_spec = S_sel = None
     if groups is not None:
         counts = np.bincount(groups)
         maj = int(np.argmax(counts))
         if counts[maj] >= 0.5 * ndom:
             maj_dom = int(np.nonzero(groups == maj)[0][0])
-            A0 = jnp.asarray(A[maj_dom], np.float32)
+            A0 = jnp.asarray(A[maj_dom], dt)
             spec = np.nonzero(groups != maj)[0]
             if spec.size:
-                A_spec = jnp.asarray(A[spec] - A[maj_dom][None], np.float32)
-                sel = np.zeros((spec.size, ndom), np.float32)
+                A_spec = jnp.asarray(A[spec] - A[maj_dom][None], dt)
+                sel = np.zeros((spec.size, ndom), dt)
                 sel[np.arange(spec.size), spec] = 1.0
                 S_sel = jnp.asarray(sel)
             else:
                 A_spec = S_sel = None
 
     route = RollRoute(
-        A=None if A0 is not None else jnp.asarray(A, np.float32),
+        A=None if A0 is not None else jnp.asarray(A, dt),
         masks=jnp.asarray(masks),
         irr_src=jnp.asarray(irr_src),
         irr_tgt=jnp.asarray(irr_tgt),

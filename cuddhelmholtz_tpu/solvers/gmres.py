@@ -236,16 +236,10 @@ def gmres(
         return (r_nrm >= tol_bnrm) & (r_nrm > 0.0) & (it < maxit - 1)
 
     init = (x0, r0, r0_nrm, jnp.asarray(0), jnp.asarray(1), hist0)
-    x, r, r_nrm, it, nmv, hist = lax.while_loop(cond, restart_body, init)
+    # the cond's `it < maxit - 1` admits at most maxit-1 restarts, mirroring
+    # the reference's `for (it = 1; it < maxit; ++it)` (gmres.cpp:146)
     # (host-observable variant with wall-clock cutoff: see gmres_host below)
-    # one more restart if not converged (the reference's final iteration),
-    # mirroring `for (it = 1; it < maxit; ++it)` executing maxit-1 restarts
-    x, r, r_nrm, it, nmv, hist = lax.cond(
-        (r_nrm >= tol_bnrm) & (r_nrm > 0.0) & (maxit > 1),
-        restart_body,
-        lambda c: c,
-        (x, r, r_nrm, it, nmv, hist),
-    )
+    x, r, r_nrm, it, nmv, hist = lax.while_loop(cond, restart_body, init)
     success = r_nrm <= tol_bnrm
     return GmresResult(
         x=x, success=success, num_iter=it, num_matvec=nmv, res_norm=hist, n_hist=it + 1
@@ -324,7 +318,9 @@ def gmres_host(
     nmv_total = 1
     t0 = _time.perf_counter()
     it = 0
-    success = r_nrm < tol_bnrm
+    # `<=` + the r_nrm == 0 exit mirror `gmres`: a zero (or exactly
+    # converged) residual succeeds immediately instead of spinning restarts
+    success = r_nrm <= tol_bnrm or r_nrm == 0.0
     # reference verbosity levels (gmres.cpp:44-64,205-213): 1 = progress bar
     # toward the convergence target, >= 2 = one line per restart
     bar = ProgressBar() if verbose == 1 else None
@@ -350,7 +346,7 @@ def gmres_host(
                 f"{r_nrm / max(float(bnrm), 1e-300):.5e}",
                 flush=True,
             )
-        success = r_nrm < tol_bnrm
+        success = r_nrm <= tol_bnrm or r_nrm == 0.0
         if times[-1] > max_seconds:
             break
     if bar is not None:

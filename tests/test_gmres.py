@@ -207,3 +207,32 @@ def test_checkpoint_resume(tmp_path):
     h0 = float(np.asarray(resumed.res_norm)[0])
     hp = float(np.asarray(partial.res_norm)[int(partial.n_hist) - 1])
     assert abs(h0 - hp) < 1e-5 * max(1.0, hp)
+
+
+def test_gmres_restart_budget_matches_host():
+    """Non-converged gmres and gmres_host run the same maxit-1 restarts
+    (the reference's `for (it = 1; it < maxit; ++it)`, gmres.cpp:146)."""
+    from cuddhelmholtz_tpu.solvers.gmres import gmres_host
+
+    n = 400
+    rng = np.random.default_rng(13)
+    b = jnp.asarray(rng.standard_normal(n))
+    out = gmres(toeplitz_matvec, b, m=2, maxit=5, tol=1e-30)
+    out_h, _ = gmres_host(toeplitz_matvec, b, m=2, maxit=5, tol=1e-30)
+    assert not bool(out.success) and not bool(out_h.success)
+    assert int(out.num_iter) == 4
+    assert int(out_h.num_iter) == 4
+    assert int(out.num_matvec) == int(out_h.num_matvec)
+
+
+def test_gmres_zero_rhs_succeeds_immediately():
+    """b = 0 (tol*||b|| = 0): both entry points succeed with x = 0 and no
+    restarts instead of spinning to the iteration cap."""
+    from cuddhelmholtz_tpu.solvers.gmres import gmres_host
+
+    b = jnp.zeros(64)
+    out = gmres(toeplitz_matvec, b, m=4, maxit=8, tol=1e-10)
+    assert bool(out.success) and int(out.num_iter) == 0
+    assert np.all(np.asarray(out.x) == 0.0)
+    out_h, _ = gmres_host(toeplitz_matvec, b, m=4, maxit=8, tol=1e-10)
+    assert bool(out_h.success) and int(out_h.num_iter) == 0
