@@ -29,6 +29,22 @@ import jax as _jax
 # Pallas wave cycle's manual 3-pass split) override explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache (respecting a user-set JAX_COMPILATION_CACHE_DIR
+# or jax config).  Compiles through a remote-compile tunnel (the axon TPU
+# backend) cost 30 s to several MINUTES each and vary with pool load; caching
+# executables on disk makes every repeat run of bench/drivers compile-free.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/cuddh_jax_cache"
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # cache is best-effort; never fail an import
+        pass
+
 from .mesh.io import load_mesh_dir, load_unstructured_square, to_file
 from .mesh.mesh2d import Mesh2D
 from .solvers.ddh import DDH
