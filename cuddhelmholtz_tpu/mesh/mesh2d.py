@@ -20,7 +20,7 @@ Conventions (identical to the reference so index maps are interchangeable):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -12,7 +12,6 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.face_mass import (
     apply_diag_inv_face_mass,

@@ -37,7 +37,7 @@ from jax import shard_map
 from ..models.helmholtz import HelmholtzOp
 from ..ops.face_mass import apply_face_mass
 from ..ops.mass import MassOp
-from ..ops.stiffness import StiffnessOp, apply_stiffness
+from ..ops.stiffness import StiffnessOp
 from ..solvers.ddh import (
     DDH,
     DDHParams,

@@ -36,7 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..mesh.mesh2d import Mesh2D
 from ..ops.mass import lumped_mass_diagonal
 from ..spaces.ensemble import EnsembleSpace, structured_labels
 from ..spaces.h1 import H1Space

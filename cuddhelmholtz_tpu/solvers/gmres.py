@@ -22,7 +22,6 @@ Here the entire restart cycle is a single jitted ``lax.while_loop``:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

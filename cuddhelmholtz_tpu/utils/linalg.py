@@ -13,7 +13,6 @@ become return values.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
