@@ -121,14 +121,6 @@ class Mesh2D:
         nel = self.n_elem
         nv = len(self.vertices)
 
-        from .. import native
-
-        built = native.build_edges(self.elem_vertices, nv)
-        if built is not None:
-            (self.edge_vertices, self.edge_elements, self.edge_sides,
-             self.edge_delta) = built
-            self._finish_edges()
-            return
         # every (element, side) pair, in the reference's traversal order
         ev = self.elem_vertices
         c0 = ev[:, EDGE_V0]  # (nel, 4) start vertex of each side
@@ -145,6 +137,24 @@ class Mesh2D:
         uniq, first_idx, inverse, counts = np.unique(
             key, return_index=True, return_inverse=True, return_counts=True
         )
+        # an edge shared by 3+ element sides (non-manifold connectivity, e.g.
+        # a duplicated element row) would silently mis-build the CG numbering
+        if counts.max(initial=0) > 2:
+            bad = uniq[np.argmax(counts)]
+            raise ValueError(
+                f"non-manifold mesh: edge ({bad % nv}, {bad // nv}) is shared "
+                f"by {int(counts.max())} element sides"
+            )
+
+        from .. import native
+
+        built = native.build_edges(self.elem_vertices, nv)
+        if built is not None:
+            (self.edge_vertices, self.edge_elements, self.edge_sides,
+             self.edge_delta) = built
+            self._finish_edges()
+            return
+
         # renumber edges by order of first occurrence (np.unique sorts by key)
         order = np.argsort(first_idx, kind="stable")
         rank_of_uniq = np.empty_like(order)
@@ -160,21 +170,21 @@ class Mesh2D:
         pair_el = np.repeat(np.arange(nel, dtype=np.int32), 4)
         pair_side = np.tile(np.arange(4, dtype=np.int32), nel)
 
-        seen = np.zeros(ne, dtype=bool)
-        for p in range(len(key)):
-            e = edge_id_of_pair[p]
-            if not seen[e]:
-                seen[e] = True
-                edge_elements[e, 0] = pair_el[p]
-                edge_sides[e, 0] = pair_side[p]
-                edge_vertices[e, 0] = flat_c0[p]
-                edge_vertices[e, 1] = flat_c1[p]
-            else:
-                edge_elements[e, 1] = pair_el[p]
-                edge_sides[e, 1] = pair_side[p]
-                # same direction iff this element starts the edge at the same
-                # vertex where the first element started it
-                edge_delta[e] = 1 if flat_c0[p] == edge_vertices[e, 0] else -1
+        e1 = rank_of_uniq  # edge id of each unique key
+        edge_elements[e1, 0] = pair_el[first_idx]
+        edge_sides[e1, 0] = pair_side[first_idx]
+        edge_vertices[e1, 0] = flat_c0[first_idx]
+        edge_vertices[e1, 1] = flat_c1[first_idx]
+
+        second = np.ones(len(key), dtype=bool)
+        second[first_idx] = False
+        ps = np.nonzero(second)[0]  # at most one per edge (counts <= 2)
+        es = edge_id_of_pair[ps]
+        edge_elements[es, 1] = pair_el[ps]
+        edge_sides[es, 1] = pair_side[ps]
+        # same direction iff the neighbour starts the edge at the same vertex
+        # where the first element started it
+        edge_delta[es] = np.where(flat_c0[ps] == edge_vertices[es, 0], 1, -1)
 
         self.edge_vertices = edge_vertices
         self.edge_elements = edge_elements

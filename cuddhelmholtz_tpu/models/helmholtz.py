@@ -51,8 +51,8 @@ from ..utils.quadrature import QuadratureRule
 class HelmholtzOp(NamedTuple):
     """Data for the coupled (u, v) Helmholtz operator."""
 
-    stiffness: StiffnessOp
-    mass: MassOp  # weighted by a^2
+    stiffness: StiffnessOp | None  # None when the kron fast path supersedes it
+    mass: MassOp | None  # weighted by a^2; None when kron supersedes it
     face_mass: FaceMassOp  # weighted by a
     face_proj: jax.Array  # (fdof,) global indices of face DOFs
     omega: float
@@ -80,9 +80,18 @@ def make_helmholtz_op(
     if kron:
         ks = make_kron_stiffness_op(space, dtype=dtype)
         km = make_kron_mass_op(space, coeff=a2_nodal, dtype=dtype)
+        # the kron path supersedes the generic element-batched operators;
+        # skip collocating/uploading their (nel, nq, nq) arrays (tens of MB
+        # of dead HBM at large grids).  Element-sharded execution
+        # (parallel.sharded_helmholtz_matvec) needs them: build with
+        # kron=False there.
+        stiffness = mass = None
+    else:
+        stiffness = make_stiffness_op(space, dtype=dtype)
+        mass = make_mass_op(space, coeff=a2_nodal, dtype=dtype)
     return HelmholtzOp(
-        stiffness=make_stiffness_op(space, dtype=dtype),
-        mass=make_mass_op(space, coeff=a2_nodal, dtype=dtype),
+        stiffness=stiffness,
+        mass=mass,
         face_mass=make_face_mass_op(fs, coeff=a_face_nodal, dtype=dtype),
         face_proj=jnp.asarray(fs.proj),
         omega=float(omega),

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.quadrature import QuadratureRule
-from .mass import make_mass_op
+from .mass import collocate_mass
 from .structured import GridH1Space
 
 
@@ -133,10 +133,10 @@ def make_kron_mass_op(
     _grid_1d(space)  # rectilinearity check
     nx, ny = space.grid
     s = space.n_basis - 1
-    gop = make_mass_op(space, coeff=coeff, dtype=jnp.float64, n_quad=n_quad)
-    P = np.asarray(gop.P)  # (nq, nb)
+    # host-side collocation (same data as make_mass_op, no device round-trip)
+    P, wdetj = collocate_mass(space, coeff=coeff, n_quad=n_quad)
     nq = P.shape[0]
-    wdetj = np.asarray(gop.wdetj).reshape(ny, nx, nq, nq)  # [ey, ex, qy, qx]
+    wdetj = wdetj.reshape(ny, nx, nq, nq)  # [ey, ex, qy, qx]
     Wq = wdetj.transpose(0, 2, 1, 3).reshape(ny * nq, nx * nq)
     return KronMassOp(
         Ex=jnp.asarray(_eval_matrix(P, nx, s), dtype=dtype),

@@ -39,13 +39,12 @@ class MassOp(NamedTuple):
     ndof: int
 
 
-def make_mass_op(
+def collocate_mass(
     space: H1Space,
     coeff: np.ndarray | jax.Array | None = None,
-    dtype=jnp.float64,
     n_quad: int | None = None,
-) -> MassOp:
-    """Build mass-operator data for ``(a(x) u, v)`` on ``space``.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side collocated mass data ``(P, a*w*w*detJ)`` (NumPy).
 
     ``coeff`` is a nodal global vector (a at the GLL nodes), interpolated to
     the quadrature grid like the reference (``MassMatrix.cpp:103-135``).
@@ -66,6 +65,18 @@ def make_mass_op(
         a_e = np.asarray(coeff)[space.dofs]  # (nel, iy, ix)
         a_q = np.einsum("qi,rj,eji->erq", P, P, a_e)  # (nel, qy, qx)
         wdetj = wdetj * a_q
+    return P, wdetj
+
+
+def make_mass_op(
+    space: H1Space,
+    coeff: np.ndarray | jax.Array | None = None,
+    dtype=jnp.float64,
+    n_quad: int | None = None,
+) -> MassOp:
+    """Build device mass-operator data for ``(a(x) u, v)`` on ``space``
+    (see ``collocate_mass`` for the quadrature conventions)."""
+    P, wdetj = collocate_mass(space, coeff, n_quad)
     return MassOp(
         dofs=jnp.asarray(space.dofs),
         P=jnp.asarray(P, dtype=dtype),
@@ -86,14 +97,22 @@ def scatter_elements(dofs: jax.Array, ye: jax.Array, ndof: int) -> jax.Array:
     )
 
 
-def apply_mass(op: MassOp, x: jax.Array) -> jax.Array:
-    """y = M x (matrix-free, batched over elements)."""
-    xe = gather_elements(op.dofs, x)  # (nel, iy, ix)
+def mass_element_kernel(op: MassOp, xe: jax.Array) -> jax.Array:
+    """(nel, iy, ix) element tensors -> weighted-mass element contributions.
+
+    Shared by the arbitrary-gather, structured strided-slice, and
+    element-sharded assembly flavours."""
     t = jnp.einsum("qi,eji->ejq", op.P, xe)  # interp x -> (nel, iy, qx)
     u = jnp.einsum("rj,ejq->erq", op.P, t)  # interp y -> (nel, qy, qx)
     u = u * op.wdetj
     t = jnp.einsum("qi,erq->eri", op.P, u)  # integrate x -> (nel, qy, ix)
-    ye = jnp.einsum("rj,eri->eji", op.P, t)  # integrate y -> (nel, iy, ix)
+    return jnp.einsum("rj,eri->eji", op.P, t)  # integrate y -> (nel, iy, ix)
+
+
+def apply_mass(op: MassOp, x: jax.Array) -> jax.Array:
+    """y = M x (matrix-free, batched over elements)."""
+    xe = gather_elements(op.dofs, x)  # (nel, iy, ix)
+    ye = mass_element_kernel(op, xe)
     return scatter_elements(op.dofs, ye, op.ndof)
 
 

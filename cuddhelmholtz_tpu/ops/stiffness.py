@@ -76,9 +76,11 @@ def make_stiffness_op(
     )
 
 
-def apply_stiffness(op: StiffnessOp, x: jax.Array) -> jax.Array:
-    """y = S x: weak Laplacian with the collocated metric."""
-    xe = gather_elements(op.dofs, x)  # (nel, iy, ix)
+def stiffness_element_kernel(op: StiffnessOp, xe: jax.Array) -> jax.Array:
+    """(nel, iy, ix) element tensors -> weak-Laplacian element contributions.
+
+    The sum-factorised einsum chain shared by every assembly flavour
+    (arbitrary-gather, structured strided-slice, element-sharded)."""
     tP = jnp.einsum("qi,eji->ejq", op.P, xe)  # (nel, iy, qx)
     tD = jnp.einsum("qi,eji->ejq", op.D, xe)
     ux = jnp.einsum("rj,ejq->erq", op.P, tD)  # du/dxi  at (qy, qx)
@@ -87,5 +89,11 @@ def apply_stiffness(op: StiffnessOp, x: jax.Array) -> jax.Array:
     fy = op.B * ux + op.C * uy
     sx = jnp.einsum("qi,erq->eri", op.D, fx)  # integrate flux_xi against dphi/dxi
     sy = jnp.einsum("qi,erq->eri", op.P, fy)
-    ye = jnp.einsum("rj,eri->eji", op.P, sx) + jnp.einsum("rj,eri->eji", op.D, sy)
+    return jnp.einsum("rj,eri->eji", op.P, sx) + jnp.einsum("rj,eri->eji", op.D, sy)
+
+
+def apply_stiffness(op: StiffnessOp, x: jax.Array) -> jax.Array:
+    """y = S x: weak Laplacian with the collocated metric."""
+    xe = gather_elements(op.dofs, x)  # (nel, iy, ix)
+    ye = stiffness_element_kernel(op, xe)
     return scatter_elements(op.dofs, ye, op.ndof)

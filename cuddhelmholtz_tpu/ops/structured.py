@@ -33,6 +33,26 @@ class GridH1Space(H1Space):
         nb = basis.n
         if mesh.n_elem != nx * ny:
             raise ValueError("mesh does not match nx * ny")
+        # the dof table and the strided-slice gather/scatter both assume
+        # el = ex + nx*ey on an axis-aligned grid; a swapped (nx, ny) or a
+        # permuted element order would silently pair the wrong metric data
+        # ordering (not geometry): within each row x must increase, rows must
+        # be grouped and increasing in y -- this catches swapped (nx, ny) and
+        # permuted element ids while tolerating perturbed vertices (only the
+        # kron path additionally requires an exact tensor-product grid)
+        v0 = mesh.vertices[mesh.elem_vertices[:, 0]]
+        xs = v0[:, 0].reshape(ny, nx)
+        ys = v0[:, 1].reshape(ny, nx)
+        ordered = np.all(np.diff(xs, axis=1) > 0) and np.all(
+            np.diff(ys, axis=0) > 0
+        )
+        if ordered and ny > 1:
+            ordered = bool(np.all(ys.max(axis=1)[:-1] < ys.min(axis=1)[1:]))
+        if not ordered:
+            raise ValueError(
+                "element order is not row-major x-fastest (el = ex + nx*ey); "
+                "build the mesh with Mesh2D.uniform_rect(nx, ..., ny, ...)"
+            )
         self.mesh = mesh
         self.basis = basis
         self.grid = (nx, ny)
@@ -88,29 +108,20 @@ def grid_scatter(ye: jax.Array, nx: int, ny: int, nb: int) -> jax.Array:
 def apply_stiffness_structured(op, grid: tuple[int, int], x: jax.Array) -> jax.Array:
     """y = S x using strided-slice assembly (op from make_stiffness_op on a
     GridH1Space)."""
+    from .stiffness import stiffness_element_kernel
+
     nx, ny = grid
     nb = op.P.shape[1]
     xe = grid_gather(x, nx, ny, nb)
-    tP = jnp.einsum("qi,eji->ejq", op.P, xe)
-    tD = jnp.einsum("qi,eji->ejq", op.D, xe)
-    ux = jnp.einsum("rj,ejq->erq", op.P, tD)
-    uy = jnp.einsum("rj,ejq->erq", op.D, tP)
-    fx = op.A * ux + op.B * uy
-    fy = op.B * ux + op.C * uy
-    sx = jnp.einsum("qi,erq->eri", op.D, fx)
-    sy = jnp.einsum("qi,erq->eri", op.P, fy)
-    ye = jnp.einsum("rj,eri->eji", op.P, sx) + jnp.einsum("rj,eri->eji", op.D, sy)
-    return grid_scatter(ye, nx, ny, nb)
+    return grid_scatter(stiffness_element_kernel(op, xe), nx, ny, nb)
 
 
 def apply_mass_structured(op, grid: tuple[int, int], x: jax.Array) -> jax.Array:
     """y = M x using strided-slice assembly (op from make_mass_op on a
     GridH1Space)."""
+    from .mass import mass_element_kernel
+
     nx, ny = grid
     nb = op.P.shape[1]
     xe = grid_gather(x, nx, ny, nb)
-    t = jnp.einsum("qi,eji->ejq", op.P, xe)
-    u = jnp.einsum("rj,ejq->erq", op.P, t) * op.wdetj
-    t = jnp.einsum("qi,erq->eri", op.P, u)
-    ye = jnp.einsum("rj,eri->eji", op.P, t)
-    return grid_scatter(ye, nx, ny, nb)
+    return grid_scatter(mass_element_kernel(op, xe), nx, ny, nb)

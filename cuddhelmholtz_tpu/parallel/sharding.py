@@ -187,6 +187,11 @@ def sharded_helmholtz_matvec(
     replicated.  Returns a jittable ``U -> A U`` closure over the sharded
     operator data; U is replicated (the GMRES basis layout).
     """
+    if op.stiffness is None or op.mass is None:
+        raise ValueError(
+            "sharded_helmholtz_matvec needs the generic element-batched "
+            "operators; build the op with make_helmholtz_op(..., kron=False)"
+        )
     sop = shard_stiffness_op(op.stiffness, mesh, axis)
     mop = shard_mass_op(op.mass, mesh, axis)
     ndof = op.ndof

@@ -124,3 +124,28 @@ def test_face_space_restrict_prolong_roundtrip():
     mask = np.ones(fem.ndof, bool)
     mask[fs.proj] = False
     assert np.allclose(np.asarray(z)[mask], np.asarray(x)[mask])
+
+
+def test_non_manifold_mesh_rejected():
+    """A duplicated element row makes an edge shared by 3+ sides; the builder
+    must reject it instead of silently corrupting the CG numbering."""
+    import pytest
+
+    base = Mesh2D.uniform_rect(3, -1.0, 1.0, 3, -1.0, 1.0)
+    bad_elems = np.vstack([base.elem_vertices, base.elem_vertices[:1]])
+    with pytest.raises(ValueError, match="non-manifold"):
+        Mesh2D.from_vertices(base.vertices, bad_elems)
+
+
+def test_grid_space_rejects_swapped_dims():
+    """GridH1Space must reject an (nx, ny) that disagrees with the mesh's
+    el = ex + nx*ey element order (the strided assembly would silently pair
+    the wrong metric data)."""
+    import pytest
+
+    from cuddhelmholtz_tpu.ops.structured import GridH1Space
+
+    mesh = Mesh2D.uniform_rect(4, 0.0, 1.0, 2, 0.0, 1.0)
+    GridH1Space(mesh, Basis(4), 4, 2)  # correct dims construct fine
+    with pytest.raises(ValueError, match="row-major"):
+        GridH1Space(mesh, Basis(4), 2, 4)
