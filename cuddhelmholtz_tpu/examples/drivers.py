@@ -33,6 +33,14 @@ from ..spaces.h1 import FaceSpace, H1Space
 from ..utils.basis import Basis
 
 
+def _ensure_x64(dtype) -> None:
+    """Enable jax x64 when a driver is asked for float64 (the reference's
+    global-system precision).  Without this, jnp.float64 silently degrades
+    to float32 outside the test harness (which enables x64 in conftest)."""
+    if jnp.dtype(dtype) == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
 def _setup_scope():
     """Run setup-time functionals on CPU: eager accelerator dispatch costs
     one compile per op shape (slow on remote-compile TPU backends)."""
@@ -124,6 +132,7 @@ def run_poisson(
     out_dir: str | None = None,
 ) -> DriverResult:
     """The Poisson example (Poisson.cpp:84-177)."""
+    _ensure_x64(dtype)
     mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
     fem = H1Space(mesh, Basis(deg + 1))
     fs = FaceSpace(fem, mesh.boundary_edges)
@@ -167,6 +176,7 @@ def run_helmholtz(
     out_dir: str | None = None,
 ) -> DriverResult:
     """The unpreconditioned coupled-Helmholtz example (Helmholtz.cpp:99-188)."""
+    _ensure_x64(dtype)
     omega = 2 * np.pi * nx / 10
     grid = None
     if mesh is None:
