@@ -82,12 +82,14 @@ class GmresResult(NamedTuple):
     n_hist: jax.Array  # number of valid entries in res_norm
 
 
-def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True):
+def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True, vin=None):
     """One Arnoldi + Givens step; no-ops (other than carry) once ``done``.
 
     When ``k`` is a Python int (unrolled restart cycle) the orthogonalisation
     reads only the populated rows ``V[:k+1]`` -- on average half the basis
     HBM traffic of the full padded matmul used under ``lax.fori_loop``.
+    ``vin`` overrides the direction the operator is applied to (used by the
+    augmented-restart solver ``lgmres``; plain Arnoldi applies A to V[k]).
     """
     dtype = V.dtype
     m1 = V.shape[0]
@@ -97,7 +99,7 @@ def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True):
     # through lax.cond's carry would materialise an (m+1, n) select each step
     # (measured ~matvec-sized HBM cost) and block in-place row updates.
     def active_step(_):
-        w = matvec(V[k])
+        w = matvec(V[k] if vin is None else vin)
         # CGS(2): rows of V beyond the current k are zero, so the (sliced or
         # padded) matmul computes exactly the coefficients against v_0..v_k.
         # The second (re-orthogonalisation) pass costs two more reads of the
@@ -239,6 +241,109 @@ def gmres(
     # the reference's `for (it = 1; it < maxit; ++it)` (gmres.cpp:146)
     # (host-observable variant with wall-clock cutoff: see gmres_host below)
     x, r, r_nrm, it, nmv, hist = lax.while_loop(cond, restart_body, init)
+    success = r_nrm <= tol_bnrm
+    return GmresResult(
+        x=x, success=success, num_iter=it, num_matvec=nmv, res_norm=hist, n_hist=it + 1
+    )
+
+
+def lgmres(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    m: int = 20,
+    k: int = 3,
+    maxit: int = 100,
+    tol: float = 1e-6,
+    precond: Callable | None = None,
+    reorth: bool = True,
+) -> GmresResult:
+    """LGMRES(m, k): restarted GMRES augmented with the k previous restart
+    update directions z_i = x_i - x_{i-1} (Baker, Jessup & Manteuffel 2005).
+
+    Restarted GMRES discards its Krylov space every m steps and stagnates on
+    indefinite problems (the unpreconditioned-Helmholtz profile); appending
+    the recent update directions to the approximation space is the standard
+    cure at the cost of k extra matvecs per restart.  ``k=0`` reduces to
+    ``gmres(m=m)``.  Fully jitted, same ``GmresResult`` contract.  This is a
+    beyond-reference capability (the reference ships plain GMRES(m),
+    ``gmres.cpp:91-235``); use ``gmres`` for exact reference parity.
+    """
+    dtype = b.dtype
+    n = b.shape[0]
+    if precond is not None:
+        inner_matvec = lambda v: precond(matvec(v))
+        b = precond(b)
+    else:
+        inner_matvec = matvec
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+
+    tol = jnp.asarray(tol, dtype=dtype)
+    bnrm = jnp.linalg.norm(b)
+    r0 = b - inner_matvec(x0)
+    r0_nrm = jnp.linalg.norm(r0)
+    hist0 = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[0].set(r0_nrm)
+    tol_bnrm = tol * bnrm
+
+    mk = m + k
+    mk1 = mk + 1
+
+    def restart_body(carry):
+        x, r, r_nrm, it, nmv, hist, Z, kv = carry
+        V = jnp.zeros((mk1, n), dtype=dtype).at[0].set(
+            r / jnp.where(r_nrm > 0.0, r_nrm, 1.0)
+        )
+        Q = jnp.eye(mk1, dtype=dtype)
+        R = jnp.zeros((mk, mk), dtype=dtype)
+        eta = jnp.zeros(mk1, dtype=dtype).at[0].set(r_nrm)
+        Zs = jnp.zeros((mk, n), dtype=dtype)  # directions A was applied to
+
+        def inner(j, args):
+            V, Q, R, eta, done, nmv, Zs = args
+            # steps 0..m-1 run plain Arnoldi on the newest basis vector;
+            # steps m.. apply A to the stored outer directions while they
+            # exist (first restarts have fewer), else continue the Krylov
+            # recursion.  Frozen steps leave an identity column and a zero
+            # rhs entry, so their y-component vanishes and the recorded
+            # direction is inert.
+            if k > 0:
+                use_z = (j >= m) & (j - m < kv)
+                zi = Z[jnp.clip(j - m, 0, k - 1)]
+                d = jnp.where(use_z, zi, V[j])
+            else:
+                d = V[j]
+            V, Q, R, eta, done, nmv = _arnoldi_step(
+                inner_matvec, V, Q, R, eta, j, tol_bnrm, done, nmv, reorth,
+                vin=d,
+            )
+            return V, Q, R, eta, done, nmv, Zs.at[j].set(d)
+
+        carry_in = (V, Q, R, eta, jnp.asarray(False), nmv, Zs)
+        V, Q, R, eta, _, nmv, Zs = lax.fori_loop(0, mk, inner, carry_in)
+        y = jax.scipy.linalg.solve_triangular(R, eta[:mk], lower=False)
+        dx = _mv(Zs.T, y)
+        x = x + dx
+        r = b - inner_matvec(x)
+        nmv = nmv + 1
+        r_nrm = jnp.linalg.norm(r)
+        it = it + 1
+        hist = hist.at[it].set(r_nrm)
+        if k > 0:
+            dxn = jnp.linalg.norm(dx)
+            znew = jnp.where(dxn > 0.0, dx / jnp.where(dxn > 0.0, dxn, 1.0), Z[0] * 0.0)
+            Z = jnp.roll(Z, 1, axis=0).at[0].set(znew)
+            kv = jnp.minimum(kv + jnp.where(dxn > 0.0, 1, 0), k)
+        return x, r, r_nrm, it, nmv, hist, Z, kv
+
+    def cond(carry):
+        _, _, r_nrm, it, _, _, _, _ = carry
+        return (r_nrm >= tol_bnrm) & (r_nrm > 0.0) & (it < maxit - 1)
+
+    Z0 = jnp.zeros((max(k, 1), n), dtype=dtype)
+    init = (x0, r0, r0_nrm, jnp.asarray(0), jnp.asarray(1), hist0, Z0, jnp.asarray(0))
+    x, r, r_nrm, it, nmv, hist, _, _ = lax.while_loop(cond, restart_body, init)
     success = r_nrm <= tol_bnrm
     return GmresResult(
         x=x, success=success, num_iter=it, num_matvec=nmv, res_norm=hist, n_hist=it + 1
