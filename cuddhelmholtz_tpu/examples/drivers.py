@@ -296,6 +296,86 @@ def run_ddh(
     )
 
 
+def run_helmholtz_ddh(
+    nx: int = 128,
+    deg: int = 3,
+    m: int = 20,
+    maxit: int = 100,
+    tol: float = 1e-6,
+    inner_m: int = 20,
+    inner_maxit: int = 3,
+    wh_maxit: int = 5,
+    transfer: bool = True,
+    dtype=jnp.float64,
+    out_dir: str | None = None,
+) -> DriverResult:
+    """Solve the coupled Helmholtz system to ``tol`` with FGMRES
+    right-preconditioned by the DDH substructured solver.
+
+    Beyond the reference: its DDH example stops at the lambda-system solve
+    (rel 1e-4 on the traces, DDH.cpp:141-155) and its Helmholtz example runs
+    unpreconditioned GMRES(200), which stagnates for hours before 1e-6.
+    Here each outer FGMRES step applies one bounded inner DDH solve
+    (``inner_maxit`` lambda restarts, no early exit) as the preconditioner,
+    driving the TRUE coupled residual to 1e-6 in a handful of outer steps.
+
+    Precision mirrors the reference's split (fp64 global operators, fp32
+    DDH): the outer system runs in ``dtype`` while the preconditioner is
+    always fp32.  An all-fp32 solve floors at ~2e-6 relative residual;
+    keep the fp64 default for tolerances at or below 1e-6.
+    """
+    from ..solvers.gmres import fgmres
+
+    _ensure_x64(dtype)
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    fem = H1Space(mesh, Basis(deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+
+    with _setup_scope():
+        a2, af = project_coefficients(fem, fs, wave_speed_coeff, dtype=dtype)
+        b_a = linear_functional(fem, wave_speed_coeff)
+        mi = make_diag_inv_mass_op(fem)
+        a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a))
+        b = np.asarray(helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=dtype))
+    op = make_helmholtz_op(omega, a2, af, fem, fs, dtype=dtype)
+    b = jnp.asarray(b)
+
+    t_setup = time.perf_counter()
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, wh_maxit=wh_maxit)
+    if transfer:
+        ddh.precompute_transfer()
+    setup_s = time.perf_counter() - t_setup
+
+    def P(v):
+        # bounded fp32 inner solve, no early exit: deterministic work/apply
+        v32 = v.astype(jnp.float32)
+        Y = ddh.rhs(v32)
+        out = gmres(ddh.action, Y, m=inner_m, maxit=inner_maxit, tol=0.0)
+        return ddh.postprocess(out.x, v32).astype(v.dtype)
+
+    matvec = lambda U: apply_helmholtz(op, U)
+    solve = jax.jit(lambda b: fgmres(matvec, b, P, m=m, maxit=maxit, tol=tol))
+    t0 = time.perf_counter()
+    out = solve(b)
+    out.x.block_until_ready()
+    dt = time.perf_counter() - t0
+    U = np.asarray(out.x)
+    if out_dir:
+        to_file(f"{out_dir}/xy.0000", fem.coords.T)
+        to_file(f"{out_dir}/helmholtz_ddh.0000", U)
+    return DriverResult(
+        solution=U,
+        coords=fem.coords,
+        res_norm=np.asarray(out.res_norm)[: int(out.n_hist)],
+        num_iter=int(out.num_iter),
+        num_matvec=int(out.num_matvec),
+        seconds=dt,
+        success=bool(out.success),
+        extra={"omega": omega, "ndof": fem.ndof, "setup_seconds": setup_s},
+    )
+
+
 def main(argv=None):
     """CLI: run a named BASELINE config.
 

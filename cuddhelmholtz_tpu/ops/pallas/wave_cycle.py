@@ -99,13 +99,17 @@ def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref
         q2 = q + dt * dq2
         return p2, q2, u + Kt * p2, v + Kt * q2
 
+    # int32 loop bounds: under jax_enable_x64 plain Python bounds trace as
+    # i64 counters, which Mosaic cannot legalize (failed 'func.return')
+    i32 = jnp.int32
+
     def wh_iter(_, carry):
         u, v = carry
-        p, q, u, v = lax.fori_loop(0, nt, step, (u, v, K0 * u, K0 * v))
+        p, q, u, v = lax.fori_loop(i32(0), i32(nt), step, (u, v, K0 * u, K0 * v))
         return u, v
 
     zero = jnp.zeros_like(F)
-    u, v = lax.fori_loop(0, wh_maxit, wh_iter, (zero, zero))
+    u, v = lax.fori_loop(i32(0), i32(wh_maxit), wh_iter, (zero, zero))
     u_ref[...] = u
     v_ref[...] = v
 
@@ -147,8 +151,15 @@ def wave_cycle_pallas(
     scal = jnp.stack([params.dt, params.K0]).astype(jnp.float32).reshape(1, 2)
 
     grid = (ndom_p // DB,)
-    row_spec = pl.BlockSpec((DB, pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    # np.int32 zeros in the index maps: under jax_enable_x64 plain Python
+    # ints trace as i64 block indices, which Mosaic cannot legalize
+    import numpy as _np
+
+    zero32 = _np.int32(0)
+    row_spec = pl.BlockSpec((DB, pad), lambda i: (i, zero32), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(zero32 for _ in shape), memory_space=pltpu.VMEM
+    )
 
     flops = 2 * wh_maxit * nt * 2 * ndom_p * pad * pad
     u, v = pl.pallas_call(

@@ -609,6 +609,12 @@ class DDH:
         import jax
 
         try:
+            # Mosaic cannot legalize the i64 scalars jax_enable_x64 injects
+            # into the kernel trace ("failed to legalize 'func.return'");
+            # fall back to the XLA scan cycle there (DDH itself stays fp32,
+            # only the rhs/postprocess cycles get slower)
+            if jax.config.jax_enable_x64:
+                return False
             return jax.default_backend() == "tpu"
         except Exception:
             return False

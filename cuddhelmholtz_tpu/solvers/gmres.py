@@ -350,6 +350,83 @@ def lgmres(
     )
 
 
+def fgmres(
+    matvec: Callable,
+    b: jax.Array,
+    precond: Callable,
+    x0: jax.Array | None = None,
+    *,
+    m: int = 20,
+    maxit: int = 100,
+    tol: float = 1e-6,
+    reorth: bool = True,
+) -> GmresResult:
+    """Flexible GMRES(m) with a right preconditioner applied per step.
+
+    Each Arnoldi step stores z_k = P(v_k) and applies A to it; the solution
+    update uses the stored z's, so ``precond`` may be a *varying* (even
+    nonlinear) operator — e.g. an inner Krylov solve such as the DDH
+    substructured solver.  Plain ``gmres(precond=...)`` requires a FIXED
+    linear P (left preconditioning); use this when P is itself iterative.
+    Beyond-reference capability (Saad 1993; the reference has only plain
+    left preconditioning, ``gmres.cpp:68-89``).
+    """
+    dtype = b.dtype
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+
+    tol = jnp.asarray(tol, dtype=dtype)
+    bnrm = jnp.linalg.norm(b)
+    r0 = b - matvec(x0)
+    r0_nrm = jnp.linalg.norm(r0)
+    hist0 = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[0].set(r0_nrm)
+    tol_bnrm = tol * bnrm
+
+    m1 = m + 1
+
+    def restart_body(carry):
+        x, r, r_nrm, it, nmv, hist = carry
+        V = jnp.zeros((m1, n), dtype=dtype).at[0].set(
+            r / jnp.where(r_nrm > 0.0, r_nrm, 1.0)
+        )
+        Q = jnp.eye(m1, dtype=dtype)
+        R = jnp.zeros((m, m), dtype=dtype)
+        eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
+        Zs = jnp.zeros((m, n), dtype=dtype)  # preconditioned directions
+
+        def inner(j, args):
+            V, Q, R, eta, done, nmv, Zs = args
+            z = precond(V[j])
+            V, Q, R, eta, done, nmv = _arnoldi_step(
+                matvec, V, Q, R, eta, j, tol_bnrm, done, nmv, reorth, vin=z
+            )
+            # frozen steps contribute y_j = 0, so the stale z row is inert
+            return V, Q, R, eta, done, nmv, Zs.at[j].set(z)
+
+        carry_in = (V, Q, R, eta, jnp.asarray(False), nmv, Zs)
+        V, Q, R, eta, _, nmv, Zs = lax.fori_loop(0, m, inner, carry_in)
+        y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
+        x = x + _mv(Zs.T, y)
+        r = b - matvec(x)
+        nmv = nmv + 1
+        r_nrm = jnp.linalg.norm(r)
+        it = it + 1
+        hist = hist.at[it].set(r_nrm)
+        return x, r, r_nrm, it, nmv, hist
+
+    def cond(carry):
+        _, _, r_nrm, it, _, _ = carry
+        return (r_nrm >= tol_bnrm) & (r_nrm > 0.0) & (it < maxit - 1)
+
+    init = (x0, r0, r0_nrm, jnp.asarray(0), jnp.asarray(1), hist0)
+    x, r, r_nrm, it, nmv, hist = lax.while_loop(cond, restart_body, init)
+    success = r_nrm <= tol_bnrm
+    return GmresResult(
+        x=x, success=success, num_iter=it, num_matvec=nmv, res_norm=hist, n_hist=it + 1
+    )
+
+
 def gmres_host(
     matvec: Callable,
     b: jax.Array,

@@ -277,3 +277,41 @@ def test_lgmres_breaks_restart_stagnation():
     assert h_l[-1] < 1e-2 * h_g[-1]
     err = float(jnp.linalg.norm(out_l.x - x_true) / jnp.linalg.norm(x_true))
     assert err < 1e-3
+
+
+def test_fgmres_fixed_precond_matches_right_preconditioning():
+    """With a FIXED diagonal preconditioner FGMRES solves the system to the
+    same tolerance as plain GMRES (flexible reduces to right-preconditioned)."""
+    from cuddhelmholtz_tpu.solvers.gmres import fgmres
+
+    n = 200
+    rng = np.random.default_rng(31)
+    d = jnp.asarray(10.0 ** rng.uniform(0, 2, n))
+    matvec = lambda v: d * v + 0.1 * toeplitz_matvec(v)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = matvec(x_true)
+    out = fgmres(matvec, b, lambda v: v / d, m=30, maxit=50, tol=1e-10)
+    assert bool(out.success)
+    # success is measured on the TRUE residual (right preconditioning)
+    res = np.linalg.norm(np.asarray(matvec(out.x) - b)) / np.linalg.norm(np.asarray(b))
+    assert res < 1e-10 * 1.01
+    assert np.linalg.norm(out.x - x_true) / np.linalg.norm(x_true) < 1e-7
+
+
+def test_fgmres_with_inner_krylov_precond():
+    """An inner GMRES as the (varying) preconditioner: the classic FGMRES
+    use case; plain gmres(precond=...) would be incorrect here."""
+    from cuddhelmholtz_tpu.solvers.gmres import fgmres
+
+    n = 300
+    rng = np.random.default_rng(32)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = toeplitz_matvec(x_true)
+
+    def inner(v):
+        return gmres(toeplitz_matvec, v, m=4, maxit=2, tol=0.0).x
+
+    out = fgmres(toeplitz_matvec, b, inner, m=6, maxit=20, tol=1e-10)
+    assert bool(out.success)
+    assert int(out.num_iter) <= 4  # far fewer restarts than unpreconditioned
+    assert np.linalg.norm(out.x - x_true) / np.linalg.norm(x_true) < 1e-8
