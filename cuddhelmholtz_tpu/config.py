@@ -21,7 +21,7 @@ class GmresConfig:
 @dataclass(frozen=True)
 class ProblemConfig:
     name: str
-    kind: str  # "poisson" | "helmholtz" | "ddh"
+    kind: str  # "poisson" | "helmholtz" | "ddh" | "helmholtz_ddh"
     nx: int = 128
     deg: int = 3
     mesh: str = "uniform_rect"  # or "unstructured_square"
@@ -72,5 +72,13 @@ BASELINE_CONFIGS = (
         kind="ddh",
         nx=256,  # omega = 2*pi*25.6
         gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
+    ),
+    # beyond-reference: the coupled system to 1e-6 (fp64 FGMRES outer,
+    # bounded fp32 DDH inner solve as right preconditioner)
+    ProblemConfig(
+        name="helmholtz_ddh_1e6",
+        kind="helmholtz_ddh",
+        nx=128,
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-6),
     ),
 )

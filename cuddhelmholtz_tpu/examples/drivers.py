@@ -106,6 +106,11 @@ def run_config(cfg, **overrides) -> DriverResult:
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
             dtype=jnp.float32, mesh=mesh,
         )
+    if cfg.kind == "helmholtz_ddh":
+        return run_helmholtz_ddh(
+            nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
+            wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
+        )
     if cfg.kind == "ddh":
         if cfg.mesh == "unstructured_square":
             mesh = load_unstructured_square()

@@ -96,3 +96,13 @@ def test_helmholtz_ddh_composite_solve():
     assert res.success
     rel = res.res_norm[-1] / res.res_norm[0]
     assert rel < 1e-6 * 1.01
+
+
+def test_run_config_helmholtz_ddh_dispatch():
+    """The composite solve is reachable through the named-config CLI path."""
+    from cuddhelmholtz_tpu.config import BASELINE_CONFIGS
+    from cuddhelmholtz_tpu.examples.drivers import run_config
+
+    (cfg,) = [c for c in BASELINE_CONFIGS if c.kind == "helmholtz_ddh"]
+    res = run_config(cfg, nx=8, m=10, maxit=30)
+    assert res.success
