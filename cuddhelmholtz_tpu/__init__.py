@@ -49,6 +49,7 @@ from .mesh.io import load_mesh_dir, load_unstructured_square, to_file
 from .mesh.mesh2d import Mesh2D
 from .solvers.ddh import DDH
 from .solvers.gmres import gmres
+from .solvers.implicit import implicit_solve
 from .spaces.ensemble import EnsembleSpace
 from .spaces.h1 import FaceSpace, H1Space
 from .utils.basis import Basis
@@ -65,6 +66,7 @@ __all__ = [
     "Mesh2D",
     "QuadratureRule",
     "gmres",
+    "implicit_solve",
     "load_mesh_dir",
     "load_unstructured_square",
     "to_file",

@@ -134,6 +134,60 @@ def apply_helmholtz(op: HelmholtzOp, U: jax.Array, grid: tuple | None = None) ->
     return jnp.concatenate([Au, Av])
 
 
+class HelmholtzTemplate(NamedTuple):
+    """Coefficient-independent Helmholtz data for differentiable rebuilds.
+
+    Holds the stiffness operator (coefficient-free) plus UNIT-coefficient
+    mass / face-mass operators collocated at the variable-coefficient
+    quadrature sizes, so ``helmholtz_op_with_coeff`` can re-weight them
+    traceably inside a ``jax.grad``/``jax.jit`` region."""
+
+    stiffness: StiffnessOp
+    mass_unit: MassOp
+    face_mass_unit: FaceMassOp
+    face_proj: jax.Array
+    ndof: int
+
+
+def make_helmholtz_template(
+    space: H1Space, fs: FaceSpace, dtype=jnp.float64
+) -> HelmholtzTemplate:
+    from ..ops.mass import variable_coeff_n_quad
+
+    nq = variable_coeff_n_quad(space)
+    return HelmholtzTemplate(
+        stiffness=make_stiffness_op(space, dtype=dtype),
+        mass_unit=make_mass_op(space, dtype=dtype, n_quad=nq),
+        face_mass_unit=make_face_mass_op(fs, dtype=dtype, n_quad=nq),
+        face_proj=jnp.asarray(fs.proj),
+        ndof=space.ndof,
+    )
+
+
+def helmholtz_op_with_coeff(
+    tmpl: HelmholtzTemplate,
+    omega,
+    a2_nodal: jax.Array,
+    a_face_nodal: jax.Array,
+) -> HelmholtzOp:
+    """Build the coupled operator as a TRACEABLE function of the nodal
+    coefficients (and optionally a traced ``omega``): the differentiable
+    counterpart of ``make_helmholtz_op`` for inverse problems
+    (``models/inverse.py``).  Uses the generic element-batched operators
+    (the kron fast path bakes its coefficient into a host-side layout)."""
+    from ..ops.face_mass import face_mass_op_with_coeff
+    from ..ops.mass import mass_op_with_coeff
+
+    return HelmholtzOp(
+        stiffness=tmpl.stiffness,
+        mass=mass_op_with_coeff(tmpl.mass_unit, a2_nodal),
+        face_mass=face_mass_op_with_coeff(tmpl.face_mass_unit, a_face_nodal),
+        face_proj=tmpl.face_proj,
+        omega=omega,
+        ndof=tmpl.ndof,
+    )
+
+
 def helmholtz_rhs(space: H1Space, f: Callable, dtype=jnp.float64) -> jax.Array:
     """b = [(f, phi); 0] using the fast collocation functional."""
     bu = linear_functional(space, f, dtype=dtype)

@@ -53,6 +53,15 @@ def make_face_mass_op(
     )
 
 
+def face_mass_op_with_coeff(base: FaceMassOp, coeff: jax.Array) -> FaceMassOp:
+    """Re-weight a unit-coefficient ``FaceMassOp`` by a face-space nodal
+    field, traceably (differentiable in ``coeff``; see ``mass_op_with_coeff``).
+    ``base`` must be built with the variable-coefficient quadrature size
+    (``n_quad = 1 + 3*nb//2 + order``)."""
+    a_f = jnp.take(coeff, base.fdofs, axis=0).astype(base.P.dtype)  # (nf, nb)
+    return base._replace(wds=base.wds * jnp.matmul(a_f, base.P.T))
+
+
 def apply_face_mass(op: FaceMassOp, x: jax.Array) -> jax.Array:
     """y = H x on the face space."""
     xf = jnp.take(x, op.fdofs, axis=0)  # (nf, nb)

@@ -85,6 +85,26 @@ def make_mass_op(
     )
 
 
+def variable_coeff_n_quad(space: H1Space) -> int:
+    """The reference's quadrature size for a variable coefficient
+    (``MassMatrix.cpp:108``): 1 + 3*nb/2 + mesh order."""
+    return 1 + (3 * space.n_basis) // 2 + space.mesh.max_element_order
+
+
+def mass_op_with_coeff(base: MassOp, coeff: jax.Array) -> MassOp:
+    """Re-weight a unit-coefficient ``MassOp`` by a nodal field, traceably.
+
+    ``base`` must be built with ``make_mass_op(space, coeff=None,
+    n_quad=variable_coeff_n_quad(space))`` so its quadrature matches the
+    variable-coefficient collocation rule.  Because the collocation
+    ``a_q = P a_e P^T`` runs in jnp, the returned operator is a
+    differentiable function of ``coeff`` — the setup path for
+    ``jax.grad``-able solves (``solvers/implicit.py``)."""
+    a_e = jnp.take(coeff, base.dofs, axis=0).astype(base.P.dtype)  # (nel, iy, ix)
+    a_q = jnp.einsum("qi,rj,eji->erq", base.P, base.P, a_e)
+    return base._replace(wdetj=base.wdetj * a_q)
+
+
 def gather_elements(dofs: jax.Array, x: jax.Array) -> jax.Array:
     """x[dofs]: (nel, nb, nb) element tensors from the global vector."""
     return jnp.take(x, dofs, axis=0)
