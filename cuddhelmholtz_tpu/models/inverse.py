@@ -63,6 +63,42 @@ def solve_helmholtz_diff(
     )
 
 
+def ddh_solve_hook(
+    ddh,
+    *,
+    m: int = 20,
+    maxit: int = 100,
+    tol: float = 1e-8,
+    inner_m: int = 20,
+    inner_maxit: int = 3,
+) -> Callable:
+    """A ``solve=(matvec, rhs) -> x`` hook for ``implicit_solve`` /
+    ``solve_helmholtz_diff`` that runs FGMRES right-preconditioned by a
+    bounded fp32 DDH inner solve (the ``run_helmholtz_ddh`` composite) —
+    the production solver for large-scale differentiable Helmholtz.
+
+    The DDH preconditioner is FROZEN at the coefficient it was built with
+    (typically the inversion starting model): a preconditioner never changes
+    the solution the Krylov iteration converges to, so the solution and its
+    implicit gradient stay exact to the solve tolerance while the iteration
+    count degrades only gradually as the model drifts from the frozen one —
+    rebuild the DDH every few dozen outer updates.  The coupled system is
+    symmetric, so the same hook serves the adjoint solve.
+    """
+    from ..solvers.gmres import fgmres, gmres
+
+    def P(v):
+        v32 = v.astype(jnp.float32)
+        Y = ddh.rhs(v32)
+        out = gmres(ddh.action, Y, m=inner_m, maxit=inner_maxit, tol=0.0)
+        return ddh.postprocess(out.x, v32).astype(v.dtype)
+
+    def solve(mv, rhs):
+        return fgmres(mv, rhs, P, m=m, maxit=maxit, tol=tol).x
+
+    return solve
+
+
 def misfit(
     tmpl: HelmholtzTemplate,
     omega,

@@ -178,6 +178,56 @@ def test_fwi_gradient_wrt_omega(fwi_setup):
     assert abs(g - fd) < 1e-5 * max(1.0, abs(fd))
 
 
+def test_ddh_solve_hook_matches_default_path():
+    """solve_helmholtz_diff with the FGMRES+DDH hook returns the same
+    solution and adjoint gradient as the default GMRES path: a
+    preconditioner (even a frozen, fp32, iterative one) never changes the
+    converged answer, only the iteration path."""
+    from cuddhelmholtz_tpu.models.inverse import ddh_solve_hook
+    from cuddhelmholtz_tpu.ops.functional import linear_functional
+    from cuddhelmholtz_tpu.ops.mass import (
+        apply_diag_inv_mass,
+        make_diag_inv_mass_op,
+    )
+    from cuddhelmholtz_tpu.solvers.ddh import DDH
+
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    fem = H1Space(mesh, Basis(deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+    tmpl = make_helmholtz_template(fem, fs)
+
+    rng = np.random.default_rng(11)
+    b = jnp.asarray(rng.standard_normal(2 * fem.ndof)) * 0.1
+    a0 = jnp.ones(fem.ndof)
+
+    # DDH frozen at a slightly WRONG coefficient (as in an inversion loop):
+    # preconditioner quality affects only the iteration count, not the answer
+    mi = make_diag_inv_mass_op(fem)
+    a_frozen = np.asarray(
+        apply_diag_inv_mass(mi, linear_functional(fem, lambda xy: 1.05))
+    )
+    ddh = DDH(omega, a_frozen, fem, nx=nx, ny=nx)
+    ddh.precompute_transfer()
+    hook = ddh_solve_hook(ddh, m=30, maxit=50, tol=1e-11)
+
+    U_ref = solve_helmholtz_diff(tmpl, omega, a0, b, tol=1e-11)
+    U_ddh = solve_helmholtz_diff(tmpl, omega, a0, b, solve=hook)
+    np.testing.assert_allclose(
+        np.asarray(U_ddh), np.asarray(U_ref), rtol=0, atol=1e-6
+    )
+
+    obs = 0.9 * U_ref
+    g_ref = jax.grad(lambda a: misfit(tmpl, omega, a, b, obs, tol=1e-11))(a0)
+    g_ddh = jax.grad(
+        lambda a: misfit(tmpl, omega, a, b, obs, solve=hook)
+    )(a0)
+    np.testing.assert_allclose(
+        np.asarray(g_ddh), np.asarray(g_ref), rtol=0, atol=1e-6
+    )
+
+
 def test_invert_wavespeed_descends(fwi_setup):
     fem, fs, tmpl, omega, b, obs = fwi_setup
     a, hist = invert_wavespeed(
