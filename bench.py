@@ -152,6 +152,33 @@ def main():
     flops = int(out.num_matvec) * ddh.wh_maxit * ddh.nt * 2 * ddh.n_domains * ddh.pad**2 * 2
     log(f"effective dense GFLOP/s: {flops/secs/1e9:.1f}; stencil nnz/s: {nnz_s:.3e}")
 
+    # ---- executed wave-cycle throughput (the Pallas kernel's real number) --
+    # The transfer-path figure above is ALGORITHMIC throughput: with the
+    # precomputed scattering matrices those wave cycles never execute.  Also
+    # time the direct wave-cycle action (what BENCH_NO_TRANSFER=1 solves
+    # with) so cross-round comparisons separate kernel speed from algebra.
+    was_transfer = ddh.use_transfer
+    ddh.use_transfer = False
+    lam = jax.device_put(
+        np.random.default_rng(1).standard_normal(ddh.size).astype(np.float32)
+    )
+    y = ddh.action(lam)
+    y.block_until_ready()  # compile
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        y = ddh.action(y)
+    y.block_until_ready()
+    cyc_secs = (time.perf_counter() - t0) / n_rep
+    ddh.use_transfer = was_transfer
+    cyc_applies = ddh.wh_maxit * ddh.nt * 2
+    cyc_nnz_s = cyc_applies * nnz_per_apply / cyc_secs
+    cyc_flops = cyc_applies * ddh.n_domains * ddh.pad**2 * 2
+    log(
+        f"executed wave-cycle action: {cyc_secs*1e3:.1f} ms/apply, "
+        f"{cyc_nnz_s:.3e} nnz/s, {cyc_flops/cyc_secs/1e12:.1f} TFLOP/s dense"
+    )
+
     print(
         json.dumps(
             {
@@ -159,6 +186,14 @@ def main():
                 "value": nnz_s,
                 "unit": "nnz/s",
                 "vs_baseline": 1.0,
+                "extras": {
+                    "solve_seconds": secs,
+                    "gmres_restarts": int(out.num_iter),
+                    "gmres_matvecs": int(out.num_matvec),
+                    "wave_cycle_executed_nnz_s": cyc_nnz_s,
+                    "wave_cycle_ms_per_apply": cyc_secs * 1e3,
+                    "wave_cycle_dense_tflops": cyc_flops / cyc_secs / 1e12,
+                },
             }
         )
     )

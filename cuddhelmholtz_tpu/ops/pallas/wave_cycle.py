@@ -121,12 +121,17 @@ def wave_cycle_pallas(
     wh_maxit: int = WH_MAXIT,
     block_domains: int = 512,
     precision: str = "high",
+    interpret: bool = False,
 ):
     """Run the WaveHoltz cycle with subdomain state resident in VMEM.
 
     ``params`` is a ``DDHParams`` with a shared (pad, pad) stiffness.  The
     subdomain batch is padded to a multiple of ``block_domains``; padded rows
     have zero coefficients so their state stays identically zero.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (device-independent) so CI on the CPU mesh covers the same code path the
+    TPU executes, including the 3-pass bf16 split.
     """
     if params.S.ndim != 2:
         from ...solvers.ddh import _wave_cycle_xla
@@ -182,5 +187,6 @@ def wave_cycle_pallas(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=8 * ndom_p * pad * 4, transcendentals=0
         ),
+        interpret=interpret,
     )(scal, params.tables, params.S, F, G, Ha, mi)
     return u[:ndom], v[:ndom]

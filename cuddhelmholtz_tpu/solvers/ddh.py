@@ -258,14 +258,35 @@ class DDH:
         )
 
         # --- lambda numbering: dual-trace B tables from cmap (DDH.cpp:408-440)
+        # The reference fills B row-by-row over cmap (side 0 then side 1 of
+        # row k, k ascending); at corner slots touched by several rows the
+        # LAST row in that interleaved order wins (DDH.cpp:429-440).  A naive
+        # vectorisation (all side-0 writes, then all side-1 writes) resolves
+        # corners in favour of the side-1 row instead — a different
+        # transmission pairing at every cross point, caught by the
+        # reference-oracle test.  Reproduce the exact write order: stamp each
+        # write with its global sequence number and keep the max per slot.
         n_shared = efem.n_shared_dofs
         mx_fdof = efem.mx_fdof
         B = np.full((n_domains, mx_fdof, 2), -1, dtype=np.int32)
         cm = efem.cmap
-        B[cm[:, 0], cm[:, 2], 0] = np.arange(n_shared)
-        B[cm[:, 0], cm[:, 2], 1] = n_shared + np.arange(n_shared)
-        B[cm[:, 1], cm[:, 3], 0] = n_shared + np.arange(n_shared)
-        B[cm[:, 1], cm[:, 3], 1] = np.arange(n_shared)
+        if n_shared > 0:
+            k = np.arange(n_shared, dtype=np.int64)
+            slots = np.empty(2 * n_shared, dtype=np.int64)  # write order
+            slots[0::2] = cm[:, 0].astype(np.int64) * mx_fdof + cm[:, 2]
+            slots[1::2] = cm[:, 1].astype(np.int64) * mx_fdof + cm[:, 3]
+            order = np.arange(2 * n_shared, dtype=np.int64)
+            last = np.full(n_domains * mx_fdof, -1, dtype=np.int64)
+            np.maximum.at(last, slots, order)
+            win = last[slots] == order  # this write is the slot's final one
+            val0 = np.empty(2 * n_shared, dtype=np.int64)  # B(.,0): own trace
+            val0[0::2] = k
+            val0[1::2] = n_shared + k
+            val1 = np.empty(2 * n_shared, dtype=np.int64)  # B(.,1): dual trace
+            val1[0::2] = n_shared + k
+            val1[1::2] = k
+            B.reshape(-1, 2)[slots[win], 0] = val0[win]
+            B.reshape(-1, 2)[slots[win], 1] = val1[win]
 
         # --- own-slot lambda layout --------------------------------------
         # Renumber the 2*n_shared trace unknowns so that a surviving lambda's
@@ -289,6 +310,10 @@ class DDH:
         self.n_own = n_own
         self.n_lost = int(lost.size)
         self.n_lambda = n_own + self.n_lost
+        # reference-numbering id -> own-slot id (index k of the cmap row for
+        # lambda0, n_shared + k for lambda1); used by the reference-oracle
+        # tests to map trace vectors between the two layouts
+        self.lambda_newid = newid.copy()
         if n_shared > 0:
             B = np.where(B >= 0, newid[np.maximum(B, 0)], -1).astype(np.int32)
 
