@@ -53,6 +53,22 @@ def _setup_scope():
     return jax.default_device(cpus[0])
 
 
+def write_history(path: str, res_norm, times=None) -> None:
+    """Write the per-restart residual history in the reference's text format
+    (``res_norm time`` per line, scientific notation; Helmholtz.cpp:165-171).
+
+    ``times`` is the per-restart wall-clock list from ``gmres_host``; jitted
+    solves have no per-restart clock, so the column is written as ``nan``.
+    """
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fout:
+        for i, r in enumerate(np.asarray(res_norm)):
+            t = times[i] if times is not None and i < len(times) else float("nan")
+            fout.write(f"{r:.10e} {t:.10e}\n")
+
+
 def point_sources(xy, omega):
     """The reference's two-Gaussian forcing (Helmholtz.cpp:72-83)."""
     s = omega * omega
@@ -179,8 +195,16 @@ def run_helmholtz(
     dtype=jnp.float64,
     mesh: Mesh2D | None = None,
     out_dir: str | None = None,
+    max_seconds: float | None = None,
+    verbose: int = 0,
 ) -> DriverResult:
-    """The unpreconditioned coupled-Helmholtz example (Helmholtz.cpp:99-188)."""
+    """The unpreconditioned coupled-Helmholtz example (Helmholtz.cpp:99-188).
+
+    ``max_seconds`` bounds the solve wall-clock like the reference driver
+    (2 h budget, Helmholtz.cpp:108 -> gmres.cpp:200-203); setting it (or
+    ``verbose``) switches to the host-loop solver, which checks the clock
+    between restarts and records per-restart times.
+    """
     _ensure_x64(dtype)
     omega = 2 * np.pi * nx / 10
     grid = None
@@ -201,15 +225,30 @@ def run_helmholtz(
     b = jnp.asarray(b)
 
     matvec = lambda U: apply_helmholtz(op, U, grid=grid)
-    solve = jax.jit(lambda b: gmres(matvec, b, m=m, maxit=maxit, tol=tol))
+    times = None
     t0 = time.perf_counter()
-    out = solve(b)
+    if max_seconds is not None or verbose:
+        from ..solvers.gmres import gmres_host
+
+        out, times = gmres_host(
+            matvec, b, m=m, maxit=maxit, tol=tol,
+            max_seconds=max_seconds if max_seconds is not None else 6 * 3600,
+            verbose=verbose,
+        )
+    else:
+        solve = jax.jit(lambda b: gmres(matvec, b, m=m, maxit=maxit, tol=tol))
+        out = solve(b)
     out.x.block_until_ready()
     dt = time.perf_counter() - t0
     U = np.asarray(out.x)
     if out_dir:
         to_file(f"{out_dir}/xy.0000", fem.coords.T)
         to_file(f"{out_dir}/helmholtz.0000", U)
+        write_history(
+            f"{out_dir}/h_{nx}_{deg}.txt",
+            np.asarray(out.res_norm)[: int(out.n_hist)],
+            times,
+        )
     return DriverResult(
         solution=U,
         coords=fem.coords,
@@ -281,6 +320,10 @@ def run_ddh(
     if out_dir:
         to_file(f"{out_dir}/xy.0000", fem.coords.T)
         to_file(f"{out_dir}/ddh.0000", U)
+        write_history(
+            f"{out_dir}/ddh_{nx}_{deg}.txt",
+            np.asarray(out.res_norm)[: int(out.n_hist)],
+        )
     return DriverResult(
         solution=U,
         coords=fem.coords,
@@ -369,6 +412,10 @@ def run_helmholtz_ddh(
     if out_dir:
         to_file(f"{out_dir}/xy.0000", fem.coords.T)
         to_file(f"{out_dir}/helmholtz_ddh.0000", U)
+        write_history(
+            f"{out_dir}/hddh_{nx}_{deg}.txt",
+            np.asarray(out.res_norm)[: int(out.n_hist)],
+        )
     return DriverResult(
         solution=U,
         coords=fem.coords,

@@ -427,6 +427,16 @@ class DDH:
         else:
             F_weight = np.where(valid, 1.0, 0.0)
 
+        # CUDDH_DEBUG-mode audit of the apply-path index tables: device ops
+        # mask out-of-range entries (mode="drop"), so a corrupted table would
+        # otherwise produce wrong numbers silently (DDH.cpp:162-164 analog)
+        from ..utils.debug import check_index_table
+
+        check_index_table("DDH.gI", gI, self.g_ndof)
+        check_index_table("DDH.fslot", fslot, pad)
+        check_index_table("DDH.B0", B[:, :, 0], self.n_lambda)
+        check_index_table("DDH.B1", B[:, :, 1], self.n_lambda)
+
         self.params = DDHParams(
             S=jnp.asarray(S_dev, dtype=dtype),
             gI=jnp.asarray(gI),
@@ -453,8 +463,17 @@ class DDH:
         """DOFs of the substructured problem: (lambda, mu) pairs."""
         return 2 * self.n_lambda
 
+    def _debug_finite(self, name: str, x: jax.Array) -> None:
+        """CUDDH_DEBUG finiteness check at the public API boundary (skipped
+        for traced values inside jit, where no host check is possible)."""
+        from ..utils.debug import check_finite, debug_enabled
+
+        if debug_enabled() and not isinstance(x, jax.core.Tracer):
+            check_finite(name, x)
+
     def action(self, lam: jax.Array) -> jax.Array:
         """y = lambda - S(lambda): the GMRES operator (DDH.cpp:611-639)."""
+        self._debug_finite("DDH.action input", lam)
         if self.use_transfer and self.route is not None:
             return ddh_action_transfer_rolled(
                 self.params,
@@ -607,6 +626,7 @@ class DDH:
 
     def rhs(self, f: jax.Array) -> jax.Array:
         """Substructured RHS from the Helmholtz forcing (DDH.cpp:641-667)."""
+        self._debug_finite("DDH.rhs input", f)
         return ddh_rhs(
             self.params,
             f,
@@ -619,6 +639,7 @@ class DDH:
 
     def postprocess(self, lam: jax.Array, f: jax.Array) -> jax.Array:
         """Recover the (u, v) solution (DDH.cpp:669-695)."""
+        self._debug_finite("DDH.postprocess lambda", lam)
         return ddh_postprocess(
             self.params,
             lam,

@@ -135,6 +135,9 @@ class H1Space:
         self._set_coords()
 
     def _set_coords(self):
+        from ..utils.debug import check_index_table
+
+        check_index_table("H1Space.dofs", self.dofs, self.ndof, allow_pad=False)
         X = self.mesh.physical_coordinates(self.basis.nodes, self.basis.nodes)
         coords = np.zeros((self.ndof, 2), dtype=np.float64)
         coords[self.dofs.transpose(0, 2, 1).reshape(-1)] = X.reshape(-1, 2)
@@ -178,6 +181,13 @@ class FaceSpace:
         self.proj = proj.astype(np.int32)
         self.face_dofs = inv.reshape(len(faces), nb).astype(np.int32)
         self.fdof = len(proj)
+
+        from ..utils.debug import check_index_table
+
+        check_index_table("FaceSpace.proj", self.proj, space.ndof, allow_pad=False)
+        check_index_table(
+            "FaceSpace.face_dofs", self.face_dofs, self.fdof, allow_pad=False
+        )
 
     @property
     def size(self) -> int:
