@@ -57,6 +57,28 @@ def device_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _axes_tuple(axis) -> tuple[str, ...]:
+    """Normalise an axis argument (one name or a tuple, e.g. ('dcn', 'ici'))."""
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _mesh_axis_size(mesh: Mesh, axes: tuple[str, ...]) -> int:
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    return n
+
+
+def _flat_axis_index(mesh: Mesh, axes: tuple[str, ...]):
+    """Row-major flat index of this shard over possibly-multiple mesh axes
+    (outer axes major, e.g. dcn-major so an ici block holds contiguous
+    subdomain rows)."""
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
 def _pad_rows(a: np.ndarray | jax.Array, rows: int):
     if a.shape[0] == rows:
         return a
@@ -260,21 +282,23 @@ class ShardedDDH:
         self,
         ddh: DDH,
         mesh: Mesh,
-        axis: str = "shard",
+        axis: str | tuple = "shard",
         use_pallas: bool | None = None,
     ):
         self.mesh = mesh
         self.axis = axis
+        axes = _axes_tuple(axis)
+        self.axes = axes
         self.inner = ddh
         if use_pallas is None:
             # per-shard Pallas wave cycle on TPU meshes; XLA scan elsewhere
             use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
         self.use_pallas = use_pallas
-        n = mesh.shape[axis]
+        n = _mesh_axis_size(mesh, axes)
         p = ddh.params
         ndom = p.gI.shape[0]
         ndom_pad = ((ndom + n - 1) // n) * n
-        sh = NamedSharding(mesh, P(axis))
+        sh = NamedSharding(mesh, P(axes))
         rep = NamedSharding(mesh, P())
 
         def place_rows(a, fill=0):
@@ -303,20 +327,20 @@ class ShardedDDH:
             dt=jax.device_put(p.dt, rep),
             omega=jax.device_put(p.omega, rep),
         )
-        spec_S = P(axis) if per_dom_S else P()
+        spec_S = P(axes) if per_dom_S else P()
         self._param_spec = DDHParams(
             S=spec_S,
-            gI=P(axis),
-            gmask=P(axis),
-            F_weight=P(axis),
-            Ha=P(axis),
-            inv_mi=P(axis),
-            m_gmi=P(axis),
-            fslot=P(axis),
-            Hf=P(axis),
-            a2wf=P(axis),
-            B0=P(axis),
-            B1=P(axis),
+            gI=P(axes),
+            gmask=P(axes),
+            F_weight=P(axes),
+            Ha=P(axes),
+            inv_mi=P(axes),
+            m_gmi=P(axes),
+            fslot=P(axes),
+            Hf=P(axes),
+            a2wf=P(axes),
+            B0=P(axes),
+            B1=P(axes),
             tables=P(),
             K0=P(),
             dt=P(),
@@ -328,7 +352,7 @@ class ShardedDDH:
         self.wh_maxit = ddh.wh_maxit
         self._dtype = ddh.dtype
 
-        axis_ = axis
+        axes_ = axes
         wh = ddh.wh_maxit
         g_ndof = ddh.g_ndof
         n_lambda = ddh.n_lambda
@@ -342,7 +366,7 @@ class ShardedDDH:
         def _offset():
             # this chip's first subdomain row (own-slot lambda ids are
             # contiguous per row, so the trace read is one dynamic slice)
-            return jax.lax.axis_index(axis_) * ndom_local
+            return _flat_axis_index(mesh, axes_) * ndom_local
 
         # row-shard the precomputed trace-transfer (scattering) matrices when
         # the inner DDH has them: the lambda matvec is then one small batched
@@ -358,7 +382,7 @@ class ShardedDDH:
         self.route_offs = ()
         self.route_perms = ()
         self._roll_data = None
-        if ddh.use_transfer and ddh.route is not None:
+        if ddh.use_transfer and ddh.route is not None and len(axes) == 1:
             route = ddh.route
             offs = ddh.route_offs
             if all(abs(o) <= ndom_local for o in offs):
@@ -416,19 +440,19 @@ class ShardedDDH:
             u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
-            return lam - jax.lax.psum(upd, axis_)
+            return lam - jax.lax.psum(upd, axes_)
 
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(self._param_spec, P(axis), P()),
+            in_specs=(self._param_spec, P(axes), P()),
             out_specs=P(),
         )
         def _action_transfer(params, T, lam):
             upd = _transfer_update(
                 params, T, lam, n_lambda, n_own, n_own_pad, _offset()
             )
-            return lam - jax.lax.psum(upd, axis_)
+            return lam - jax.lax.psum(upd, axes_)
 
         @partial(
             shard_map,
@@ -442,7 +466,7 @@ class ShardedDDH:
             u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             upd = _scatter_updates(params, lam0, mu0, u, v, n_lambda)
-            return jax.lax.psum(upd, axis_)
+            return jax.lax.psum(upd, axes_)
 
         @partial(
             shard_map,
@@ -456,9 +480,10 @@ class ShardedDDH:
             u, v = _wave_cycle(params, F, G, wh, use_pallas_, precision)
             v = v / params.omega
             y = _scatter_solution(params, u, v, g_ndof)
-            return jax.lax.psum(y, axis_)
+            return jax.lax.psum(y, axes_)
 
         if self._roll_data is not None:
+            ax1 = axes[0]  # rolled/ppermute exchange is built 1-axis only
             offs_ = self.route_offs
             perms_ = self.route_perms
             perm_fwd = [(i, (i + 1) % n) for i in range(n)]
@@ -482,33 +507,61 @@ class ShardedDDH:
                 # static checker can't infer it through ppermute chains
             )
             def _action_rolled(params, A, masks, irr_ls, irr_t, lam):
-                """Rolled trace exchange with ppermute halo transfers.
+                """Rolled trace exchange with ppermute halo transfers,
+                overlapped with the interior transfer matmul.
 
                 Uniform sender routes shift this chip's subdomain block
                 locally; only the |off| boundary rows ride ICI to the
-                neighbouring chip.  The small irregular remainder scatters
-                into a psum.
+                neighbouring chip.  The boundary rows' (|off|, 2pf) @
+                (2pf, 2pf) products are computed FIRST and their ppermutes
+                issued before the bulk interior matmul, so XLA's
+                latency-hiding scheduler runs the ICI transfer concurrently
+                with the interior compute (the reference's design point:
+                lambda exchange only at kernel entry/exit,
+                DDH.cpp:222-231,310-319).  The small irregular remainder
+                scatters into a psum.
                 """
                 lam0, mu0 = _read_traces(
                     params, lam, n_lambda, n_own, n_own_pad, _offset()
                 )
                 x = jnp.concatenate([lam0, mu0], axis=1).astype(A.dtype)
+                L = x.shape[0]
+                # boundary-first: per route, matmul only the rows that cross
+                # the shard edge, then start their ppermute
+                recvs = []
+                for i, (off, _) in enumerate(zip(offs_, perms_)):
+                    if off > 0:
+                        rows = slice(L - off, L)
+                        perm_dir = perm_fwd
+                    elif off < 0:
+                        rows = slice(0, -off)
+                        perm_dir = perm_bwd
+                    else:
+                        recvs.append(None)
+                        continue
+                    u2b = jnp.einsum(
+                        "dik,dk->di", A[rows], x[rows], precision="highest"
+                    )
+                    mu_b = masks[i][rows] * jnp.pad(u2b, ((0, 0), (0, 1)))
+                    recvs.append(jax.lax.ppermute(mu_b, ax1, perm_dir))
+                # interior (full) matmul overlaps the transfers in flight
                 u2 = jnp.einsum("dik,dk->di", A, x, precision="highest")
                 u2p = jnp.pad(u2, ((0, 0), (0, 1)))  # zero col for dead slots
-                L = u2.shape[0]
                 out_loc = jnp.zeros_like(u2)
                 for i, (off, perm) in enumerate(zip(offs_, perms_)):
                     mu_ = masks[i] * u2p
                     if off > 0:
-                        recv = jax.lax.ppermute(mu_[L - off :], axis_, perm_fwd)
-                        shifted = jnp.concatenate([recv, mu_[: L - off]], axis=0)
+                        shifted = jnp.concatenate(
+                            [recvs[i], mu_[: L - off]], axis=0
+                        )
                     elif off < 0:
-                        recv = jax.lax.ppermute(mu_[:-off], axis_, perm_bwd)
-                        shifted = jnp.concatenate([mu_[-off:], recv], axis=0)
+                        shifted = jnp.concatenate(
+                            [mu_[-off:], recvs[i]], axis=0
+                        )
                     else:
                         shifted = mu_
                     out_loc = out_loc + shifted[:, np.asarray(perm)]
-                full = jax.lax.all_gather(out_loc, axis_, tiled=True)
+                full = jax.lax.all_gather(out_loc, ax1, tiled=True)
                 out_l = jnp.concatenate(
                     [
                         full[:, :pf_].reshape(-1)[:n_own].astype(lam.dtype),
@@ -531,25 +584,30 @@ class ShardedDDH:
                     .at[0, tg].add(vals_l, mode="drop", indices_are_sorted=True)
                     .at[1, tg].add(vals_m, mode="drop", indices_are_sorted=True)
                 )
-                add2 = jax.lax.psum(add2, axis_)
+                add2 = jax.lax.psum(add2, ax1)
                 out_l = out_l + add2[0, :n_lambda]
                 out_m = out_m + add2[1, :n_lambda]
                 return lam - jnp.concatenate([out_l, out_m])
 
+        # global arrays must be ARGUMENTS of the jitted programs, not
+        # closed-over constants: in multi-process runs a closure capturing an
+        # array that spans non-addressable devices is rejected
+        if self._roll_data is not None:
             A_r, masks_r, irr_ls_r, irr_t_r = self._roll_data
-            self._action_fn = jax.jit(
-                lambda lam: _action_rolled(
-                    self.params, A_r, masks_r, irr_ls_r, irr_t_r, lam
-                )
+            rolled_jit = jax.jit(_action_rolled)
+            self._action_fn = lambda lam: rolled_jit(
+                self.params, A_r, masks_r, irr_ls_r, irr_t_r, lam
             )
         elif self.use_transfer:
-            self._action_fn = jax.jit(
-                lambda lam: _action_transfer(self.params, self.T, lam)
-            )
+            transfer_jit = jax.jit(_action_transfer)
+            self._action_fn = lambda lam: transfer_jit(self.params, self.T, lam)
         else:
-            self._action_fn = jax.jit(lambda lam: _action(self.params, lam))
-        self._rhs_fn = jax.jit(lambda f: _rhs(self.params, f))
-        self._post_fn = jax.jit(lambda lam, f: _post(self.params, lam, f))
+            action_jit = jax.jit(_action)
+            self._action_fn = lambda lam: action_jit(self.params, lam)
+        rhs_jit = jax.jit(_rhs)
+        post_jit = jax.jit(_post)
+        self._rhs_fn = lambda f: rhs_jit(self.params, f)
+        self._post_fn = lambda lam, f: post_jit(self.params, lam, f)
 
     def action(self, lam):
         return self._action_fn(lam)
