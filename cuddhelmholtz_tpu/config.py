@@ -81,4 +81,14 @@ BASELINE_CONFIGS = (
         nx=128,
         gmres=GmresConfig(m=20, maxit=100, tol=1e-6),
     ),
+    # the BASELINE target metric: GMRES iters-to-1e-6 on the unstructured
+    # square, DDH-preconditioned (coordinate-bisection partition)
+    ProblemConfig(
+        name="helmholtz_ddh_unstructured_1e6",
+        kind="helmholtz_ddh",
+        nx=8,  # sets omega; geometry comes from the mesh file
+        mesh="unstructured_square",
+        n_domains=8,
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-6),
+    ),
 )

@@ -123,9 +123,11 @@ def run_config(cfg, **overrides) -> DriverResult:
             dtype=jnp.float32, mesh=mesh,
         )
     if cfg.kind == "helmholtz_ddh":
+        mesh = load_unstructured_square() if cfg.mesh == "unstructured_square" else None
         return run_helmholtz_ddh(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
             wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
+            mesh=mesh, n_domains=cfg.n_domains,
         )
     if cfg.kind == "ddh":
         if cfg.mesh == "unstructured_square":
@@ -355,6 +357,9 @@ def run_helmholtz_ddh(
     wh_maxit: int = 5,
     transfer: bool = True,
     dtype=jnp.float64,
+    mesh: Mesh2D | None = None,
+    element_labels: np.ndarray | None = None,
+    n_domains: int | None = None,
     out_dir: str | None = None,
 ) -> DriverResult:
     """Solve the coupled Helmholtz system to ``tol`` with FGMRES
@@ -371,12 +376,26 @@ def run_helmholtz_ddh(
     DDH): the outer system runs in ``dtype`` while the preconditioner is
     always fp32.  An all-fp32 solve floors at ~2e-6 relative residual;
     keep the fp64 default for tolerances at or below 1e-6.
+
+    Pass ``mesh`` (+ optional ``element_labels``; default recursive
+    coordinate bisection into ``n_domains`` parts) to run on an arbitrary
+    quad mesh, e.g. the unstructured square — the BASELINE target metric
+    (GMRES iters-to-1e-6 on the unstructured square).  The reference's DDH
+    cannot do this (uniform_rect only, DDH.cpp:333-344).
     """
     from ..solvers.gmres import fgmres
 
     _ensure_x64(dtype)
     omega = 2 * np.pi * nx / 10
-    mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    structured = mesh is None
+    if structured:
+        mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
+    elif element_labels is None:
+        from ..spaces.ensemble import coordinate_bisection_labels
+
+        element_labels, n_domains = coordinate_bisection_labels(
+            mesh, n_domains or max(4, mesh.n_elem // 16)
+        )
     fem = H1Space(mesh, Basis(deg + 1))
     fs = FaceSpace(fem, mesh.boundary_edges)
 
@@ -390,7 +409,13 @@ def run_helmholtz_ddh(
     b = jnp.asarray(b)
 
     t_setup = time.perf_counter()
-    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, wh_maxit=wh_maxit)
+    if structured:
+        ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, wh_maxit=wh_maxit)
+    else:
+        ddh = DDH(
+            omega, a_nodal, fem, element_labels=element_labels,
+            n_domains=n_domains, wh_maxit=wh_maxit,
+        )
     if transfer:
         ddh.precompute_transfer()
     setup_s = time.perf_counter() - t_setup

@@ -103,6 +103,57 @@ def test_run_config_helmholtz_ddh_dispatch():
     from cuddhelmholtz_tpu.config import BASELINE_CONFIGS
     from cuddhelmholtz_tpu.examples.drivers import run_config
 
-    (cfg,) = [c for c in BASELINE_CONFIGS if c.kind == "helmholtz_ddh"]
-    res = run_config(cfg, nx=8, m=10, maxit=30)
+    by_name = {c.name: c for c in BASELINE_CONFIGS}
+    res = run_config(by_name["helmholtz_ddh_1e6"], nx=8, m=10, maxit=30)
     assert res.success
+
+
+def test_helmholtz_ddh_unstructured_cross_validation():
+    """The BASELINE target metric: DDH-preconditioned FGMRES to 1e-6 on the
+    unstructured square.  Cross-validated against the generic-path
+    unpreconditioned solve of the SAME discrete system — the two solutions
+    must agree to solver tolerance."""
+    from cuddhelmholtz_tpu.config import BASELINE_CONFIGS
+    from cuddhelmholtz_tpu.examples.drivers import run_config, run_helmholtz
+
+    by_name = {c.name: c for c in BASELINE_CONFIGS}
+    cfg = by_name["helmholtz_ddh_unstructured_1e6"]
+    res = run_config(cfg, m=15, maxit=40)
+    assert res.success, np.asarray(res.res_norm)
+    rel = res.res_norm[-1] / res.res_norm[0]
+    assert rel < 1e-6 * 1.01
+
+    # deterministic oracle: dense direct solve of the SAME discrete operator
+    # (unpreconditioned restarted GMRES stagnates on Helmholtz, so it cannot
+    # provide a 1e-8 reference)
+    import jax.numpy as jnp
+
+    from cuddhelmholtz_tpu.models.helmholtz import (
+        apply_helmholtz,
+        helmholtz_rhs,
+        make_helmholtz_op,
+        project_coefficients,
+    )
+    from cuddhelmholtz_tpu.examples.drivers import point_sources, wave_speed_coeff
+    from cuddhelmholtz_tpu.spaces.h1 import FaceSpace, H1Space
+    from cuddhelmholtz_tpu.utils.basis import Basis
+
+    mesh = load_unstructured_square()
+    fem = H1Space(mesh, Basis(cfg.deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+    omega = cfg.omega
+    a2, af = project_coefficients(fem, fs, wave_speed_coeff, dtype=jnp.float64)
+    op = make_helmholtz_op(omega, a2, af, fem, fs, dtype=jnp.float64)
+    b = np.asarray(
+        helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float64)
+    )
+    n2 = 2 * fem.ndof
+    import jax
+
+    cols = jax.vmap(lambda e: apply_helmholtz(op, e))(jnp.eye(n2))
+    A = np.asarray(cols).T
+    x_direct = np.linalg.solve(A, b)
+    err = np.linalg.norm(res.solution - x_direct) / np.linalg.norm(x_direct)
+    assert err < 1e-5, err
+    # record the target metric: iters-to-1e-6
+    assert res.num_iter < 40
