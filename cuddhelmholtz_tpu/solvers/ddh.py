@@ -397,11 +397,9 @@ class DDH:
             S_dev = S[0] if self.shared_S else S
 
         # compact trace-exchange tables over face-space DOFs (pf = mx_fdof):
-        # fslot embeds face dof j at its subspace slot pI[p, j]
-        fslot = np.full((n_domains, mx_fdof), -1, dtype=np.int32)
-        for p in range(n_domains):
-            fdof = efem.fsizes[p]
-            fslot[p, :fdof] = efem.pI[p, :fdof]
+        # fslot embeds face dof j at its subspace slot pI[p, j] (pI already
+        # carries -1 padding beyond each domain's fdof)
+        fslot = efem.pI[:, :mx_fdof].astype(np.int32, copy=True)
         fs_safe = np.maximum(fslot, 0)
         Hf = np.where(fslot >= 0, np.take_along_axis(H_sub, fs_safe, axis=1), 0.0)
         a2wf = np.where(
