@@ -59,6 +59,17 @@ class EnsembleSpace:
         self.n_domains = n_domains
         self.n_basis = nb
 
+        # CUDDH_DEBUG: audit the input numbering BEFORE building.  The
+        # batched first-occurrence keys are dom * ndof + gid, so an
+        # out-of-range gid would silently alias into the next domain's key
+        # space instead of producing a detectably-bad table.
+        from ..utils.debug import check_index_table
+
+        check_index_table(
+            "EnsembleSpace input space.dofs", space.dofs, space.ndof,
+            allow_pad=False,
+        )
+
         # --- elements per subdomain (ascending global order) ----------------
         counts = np.bincount(labels, minlength=n_domains)
         if counts.min() < 1:

@@ -53,10 +53,12 @@ def test_corrupt_table_raises(debug_on, small_space):
     with pytest.raises(ValueError, match="index table"):
         check_index_table("H1Space.dofs", bad, fem.ndof, allow_pad=False)
 
-    # end-to-end: corrupt the H1 numbering a constructor consumes
+    # end-to-end: corrupt the H1 numbering a constructor consumes (the
+    # audit must fire at ENTRY — the vectorized build's dom*ndof+gid keys
+    # would otherwise alias an out-of-range gid into the next domain)
     fem.dofs[0, 0, 0] = fem.ndof + 7
     labels, nd = structured_labels(4, 4, 2, 2)
-    with pytest.raises(ValueError, match="gI"):
+    with pytest.raises(ValueError, match="dofs"):
         EnsembleSpace(fem, nd, labels)
     fem.dofs[0, 0, 0] = 0  # restore (fixture is function-scoped anyway)
 

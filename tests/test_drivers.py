@@ -30,14 +30,19 @@ def test_poisson_reference_config(tmp_path):
     assert np.allclose(xyf, res.coords)
 
 
-def test_helmholtz_reduced_config():
-    """Reduced Helmholtz.cpp config (nx=12): coupled solve converges."""
-    res = run_helmholtz(nx=12, deg=3, m=200, maxit=100, tol=1e-6)
+def test_helmholtz_reduced_config(tmp_path):
+    """Reduced Helmholtz.cpp config (nx=12): coupled solve converges and the
+    residual history is dumped in the reference's text format
+    (Helmholtz.cpp:165-171)."""
+    res = run_helmholtz(nx=12, deg=3, m=200, maxit=100, tol=1e-6, out_dir=str(tmp_path))
     assert res.success
     assert res.extra["ndof"] == (12 * 3 + 1) ** 2
     n = res.extra["ndof"]
     U = res.solution[:n] + 1j * res.solution[n:]
     assert np.isfinite(U).all() and np.abs(U).max() > 0
+    hist = np.loadtxt(tmp_path / "h_12_3.txt")  # columns: res_norm time
+    hist = np.atleast_2d(hist)
+    np.testing.assert_allclose(hist[:, 0], res.res_norm, rtol=1e-9)
 
 
 def test_ddh_structured_reduced():
