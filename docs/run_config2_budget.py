@@ -15,14 +15,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax.numpy as jnp  # noqa: E402
+
 from cuddhelmholtz_tpu.examples.drivers import run_helmholtz  # noqa: E402
 
 out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 os.makedirs(out_dir, exist_ok=True)
 
 t0 = time.time()
+# fp32 is the documented TPU production policy (docs/DTYPES.md): fp64 is
+# emulated on TPU, and fp32-vs-fp64 residual histories were verified
+# identical on this config (docs/PERF.md, 2026-08-18).
 res = run_helmholtz(
-    nx=128, deg=3, m=200, maxit=10_000, tol=1e-6,
+    nx=128, deg=3, m=200, maxit=10_000, tol=1e-6, dtype=jnp.float32,
     max_seconds=2 * 60 * 60, verbose=2, out_dir=out_dir,
 )
 summary = {

@@ -269,3 +269,57 @@ def test_ddh_two_domain_interface_exact():
     clean = ~(iface & bdry)
     rel_clean = np.linalg.norm(np.asarray(ru)[clean]) / np.linalg.norm(np.asarray(b[:n]))
     assert rel_clean < 5e-3, rel_clean
+
+
+def test_ddh_solves_helmholtz_deg7():
+    """End-to-end at n_basis = 8 (deg 7), the reference's other supported
+    degree (DDH.cpp:333-344): 16x16-DOF subdomains of 2x2 elements.  The
+    frequency is raised 4x over the drivers' nx/10 scaling to keep the
+    CFL-limited cycle at nt = 800; the reference solution is an exact dense
+    direct solve of the lumped global system (841 DOF -- no GMRES
+    stagnation issues at high degree)."""
+    nx, deg = 4, 7
+    omega = 2 * np.pi * nx / 2.5
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    a_nodal = np.ones(fem.ndof)
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=16)
+    assert ddh.n_domains == 4 and ddh.nt == 800
+
+    def f(xy):
+        r = (xy[..., 0] + 0.5) ** 2 + xy[..., 1] ** 2
+        return omega**2 / np.pi * jnp.exp(-(omega**2) * r)
+
+    b = helmholtz_rhs(fem, f)
+    Y = ddh.rhs(b)
+    out = gmres(ddh.action, Y, m=20, maxit=100, tol=1e-4)
+    assert bool(out.success), np.asarray(out.res_norm)[: int(out.n_hist)]
+    U = ddh.postprocess(out.x, b)
+
+    # exact reference: densify the lumped coupled operator column by column
+    from cuddhelmholtz_tpu.ops.mass import lumped_mass_diagonal
+
+    n = fem.ndof
+    stiff = make_stiffness_op(fem, quad=fem.basis.quadrature)
+    mlump = jnp.asarray(lumped_mass_diagonal(fem) * a_nodal**2)
+    fs = FaceSpace(fem, mesh.boundary_edges)
+    Hb = np.zeros(n)
+    edge_meas = 0.5 * mesh.edge_lengths()
+    qw = fem.basis.quadrature.w
+    for k, e in enumerate(fs.faces):
+        np.add.at(Hb, fs.proj[fs.face_dofs[k]], edge_meas[e] * qw)
+    Hba = jnp.asarray(Hb * a_nodal)
+    w2 = omega * omega
+
+    def matvec(Uc):
+        u, v = Uc[:n], Uc[n:]
+        Au = apply_stiffness(stiff, u) - w2 * mlump * u - omega * Hba * v
+        Av = -(apply_stiffness(stiff, v) - w2 * mlump * v + omega * Hba * u)
+        return jnp.concatenate([Au, Av])
+
+    import jax
+
+    A = np.asarray(jax.vmap(matvec, in_axes=1, out_axes=1)(jnp.eye(2 * n)))
+    xd = np.linalg.solve(A, np.asarray(b))
+    rel = np.linalg.norm(np.asarray(U) - xd) / np.linalg.norm(xd)
+    assert rel < 0.15, rel

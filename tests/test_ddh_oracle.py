@@ -150,3 +150,25 @@ def test_oracle_matches_on_irregular_partition():
     want = oracle.action(l_ref)
     got = from_prod(ddh.action(jnp.asarray(to_prod(l_ref))))
     assert _rel(got, want) < 2e-4, _rel(got, want)
+
+
+def test_oracle_action_matches_deg7():
+    """n_basis = 8 (deg 7), the reference's other supported degree
+    (DDH.cpp:333-344, NB template in {4, 8}): 16x16-DOF subdomains hold
+    2x2 elements.  Raised frequency keeps the CFL-limited time grid at
+    nt = 400 so the NumPy oracle stays fast."""
+    nx, deg = 4, 7
+    omega = 2 * np.pi * nx / 1.25
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    rng = np.random.default_rng(5)
+    a_nodal = 1.0 + 0.3 * rng.random(fem.ndof)
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=16)
+    assert ddh.n_domains == 4
+    oracle = DDHOracle(omega, a_nodal, fem, ddh.efem)
+    assert oracle.nt == ddh.nt == 400 and abs(oracle.dt - ddh.dt) < 1e-14
+    to_prod, from_prod = _maps(ddh, oracle)
+    l_ref = rng.standard_normal(2 * oracle.n_lambda).astype(np.float32)
+    want = oracle.action(l_ref)
+    got = from_prod(ddh.action(jnp.asarray(to_prod(l_ref))))
+    assert _rel(got, want) < 2e-4, _rel(got, want)
