@@ -45,6 +45,9 @@ def initialize_from_env(
     if process_id is None and "CUDDH_PROCESS_ID" in os.environ:
         process_id = int(os.environ["CUDDH_PROCESS_ID"])
 
+    if _already_initialized():
+        return True
+
     if coordinator_address is None and num_processes is None:
         # Cloud TPU pods auto-detect through the metadata server; calling
         # initialize() bare is correct there but raises on plain hosts.
@@ -52,7 +55,7 @@ def initialize_from_env(
             jax.distributed.initialize()
             return True
         except Exception:
-            return False
+            return _already_initialized()
 
     try:
         jax.distributed.initialize(
@@ -60,10 +63,22 @@ def initialize_from_env(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e):
+    except RuntimeError as e:  # raced with another initializer
+        # jax 0.9 raises "distributed.initialize should only be called once.";
+        # older versions said "already initialized"
+        if "already" not in str(e) and "once" not in str(e):
             raise
     return True
+
+
+def _already_initialized() -> bool:
+    """Whether ``jax.distributed`` is live in this process (any initializer)."""
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
 
 
 def hybrid_device_mesh(
@@ -109,16 +124,24 @@ def hybrid_device_mesh(
     return Mesh(arr, (dcn_axis, ici_axis))
 
 
-def spawn_cpu_processes(worker_path: str, n_procs: int, devs_per_proc: int, *args, timeout: float = 600.0, port: int = 29711):
+def spawn_cpu_processes(worker_path: str, n_procs: int, devs_per_proc: int, *args, timeout: float = 600.0, port: int | None = None):
     """Run ``worker_path`` in ``n_procs`` CPU processes wired together with
     ``jax.distributed`` (Gloo), each simulating ``devs_per_proc`` devices.
 
     Each worker receives ``[process_id, n_procs, devs_per_proc, port, *args]``
     as argv and must set up JAX itself (see tests/mp_worker.py).  Returns the
-    list of (returncode, combined output) per process.
+    list of (returncode, combined output) per process.  ``port=None`` (the
+    default) picks a free coordinator port so concurrent runs don't collide.
     """
     import subprocess
     import sys
+
+    if port is None:
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
 
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)

@@ -37,7 +37,7 @@ summary = {
     "restarts": int(res.num_iter),
     "matvecs": int(res.num_matvec),
     "success": bool(res.success),
-    "rel_res_first": float(res.res_norm[0] / res.res_norm[0]),
+    "abs_res_first": float(res.res_norm[0]),
     "rel_res_final": float(res.res_norm[-1] / res.res_norm[0]),
 }
 with open(os.path.join(out_dir, "config2_budget.json"), "w") as f:

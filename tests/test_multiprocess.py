@@ -19,7 +19,7 @@ WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
 
 
 def test_sharded_ddh_across_processes():
-    results = spawn_cpu_processes(WORKER, n_procs=2, devs_per_proc=2, port=29731)
+    results = spawn_cpu_processes(WORKER, n_procs=2, devs_per_proc=2)
     for rc, out in results:
         assert rc == 0, out[-2000:]
         assert "MULTIPROCESS_OK" in out, out[-2000:]
