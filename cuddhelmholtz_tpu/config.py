@@ -32,6 +32,9 @@ class ProblemConfig:
     # precompute per-subdomain trace-transfer matrices (the production DDH
     # matvec; pays ~2*pf wave-cycle columns once, wins above ~2*pf matvecs)
     transfer: bool = True
+    # kind="ddh_multi": number of right-hand sides solved in one batched
+    # (vmapped) substructured solve
+    n_sources: int = 8
 
     @property
     def omega(self) -> float:
@@ -90,5 +93,14 @@ BASELINE_CONFIGS = (
         mesh="unstructured_square",
         n_domains=8,
         gmres=GmresConfig(m=20, maxit=100, tol=1e-6),
+    ),
+    # beyond-reference: 8 right-hand sides in one vmapped substructured
+    # solve (the reference runs one forcing per invocation)
+    ProblemConfig(
+        name="ddh_multi_source_8",
+        kind="ddh_multi",
+        nx=128,
+        n_sources=8,
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
     ),
 )

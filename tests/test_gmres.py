@@ -315,3 +315,36 @@ def test_fgmres_with_inner_krylov_precond():
     assert bool(out.success)
     assert int(out.num_iter) <= 4  # far fewer restarts than unpreconditioned
     assert np.linalg.norm(out.x - x_true) / np.linalg.norm(x_true) < 1e-8
+
+
+def test_gmres_vmapped_matches_solo():
+    """``jax.vmap(gmres)`` (the multi-RHS batched solve used by
+    run_ddh_multi_source) keeps per-lane trajectories: each right-hand side
+    gets its own Krylov space, early exit, matvec count, and residual
+    history, identical to solving it alone."""
+    n, K = 512, 3
+    rng = np.random.default_rng(11)
+    # different difficulty per lane so early-exit points differ
+    # (measured solo matvec counts: 56 / 38 / 46)
+    bs = jnp.stack(
+        [
+            toeplitz_matvec(jnp.asarray(rng.standard_normal(n))),
+            1e3 * toeplitz_matvec(jnp.zeros(n).at[0].set(1.0)),
+            toeplitz_matvec(jnp.asarray(np.sin(np.linspace(0, np.pi, n)))),
+        ]
+    )
+    solve = lambda b: gmres(toeplitz_matvec, b, m=7, maxit=100, tol=1e-10)
+    outs = jax.jit(jax.vmap(solve))(bs)
+    assert bool(np.all(np.asarray(outs.success)))
+    nmv = np.asarray(outs.num_matvec)
+    for k in range(K):
+        solo = solve(bs[k])
+        assert int(solo.num_matvec) == int(nmv[k])
+        assert int(solo.n_hist) == int(outs.n_hist[k])
+        np.testing.assert_allclose(
+            np.asarray(outs.x[k]), np.asarray(solo.x), rtol=1e-6, atol=1e-10
+        )
+        h_b = np.asarray(outs.res_norm[k])[: int(outs.n_hist[k])]
+        h_s = np.asarray(solo.res_norm)[: int(solo.n_hist)]
+        np.testing.assert_allclose(h_b, h_s, rtol=1e-6)
+    assert len(set(nmv.tolist())) > 1  # lanes genuinely exited at different points
