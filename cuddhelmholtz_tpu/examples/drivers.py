@@ -360,6 +360,7 @@ def run_ddh_multi_source(
     n_sources: int = 8,
     source_radius: float = 0.5,
     transfer: bool = True,
+    shard_sources: bool = False,
     out_dir: str | None = None,
 ) -> DriverResult:
     """Solve the DDH example for ``n_sources`` right-hand sides in ONE
@@ -372,8 +373,15 @@ def run_ddh_multi_source(
     (K*ndom, 2pf) one, filling the MXU, so K sources cost far less than K
     sequential solves.  Each source keeps its own Krylov space and early
     exit; per-source trajectories are bit-identical to solo solves (see
-    tests/test_models.py).  Sources are Gaussians spaced on a ring of
+    tests/test_drivers.py).  Sources are Gaussians spaced on a ring of
     ``source_radius``.
+
+    ``shard_sources=True`` additionally shards the source axis over all
+    available devices (1-axis ``jax.sharding.Mesh``): sources are
+    embarrassingly parallel, so XLA partitions the entire vmapped solve
+    with no collectives beyond the shared loop-exit reduction -- the "data
+    parallel" axis of this workload (tests/test_multichip.py validates
+    lane-exact agreement with the replicated solve).
     """
     omega = 2 * np.pi * nx / 10
     mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
@@ -395,7 +403,18 @@ def run_ddh_multi_source(
             return np.asarray(helmholtz_rhs(fem, f))
 
         bs = np.stack([source_k(cx, cy) for cx, cy in centers])
-    bs = jnp.asarray(bs)
+    if shard_sources:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        ndev = len(jax.devices())
+        # largest divisor of n_sources that fits the device count
+        n_shard = max(d for d in range(1, min(n_sources, ndev) + 1) if n_sources % d == 0)
+        devs = np.array(jax.devices()[:n_shard])
+        bs = jax.device_put(
+            jnp.asarray(bs), NamedSharding(Mesh(devs, ("src",)), PartitionSpec("src"))
+        )
+    else:
+        bs = jnp.asarray(bs)
 
     t_setup = time.perf_counter()
     ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx)

@@ -198,3 +198,37 @@ def test_sharded_ddh_gmres_step(mesh8):
     assert np.allclose(h1[:k], h2[:k], rtol=1e-3)
     scale = np.linalg.norm(np.asarray(ref.x))
     assert np.linalg.norm(np.asarray(out.x) - np.asarray(ref.x)) < 1e-2 * scale
+
+
+def test_source_axis_data_parallel():
+    """Sharding the source axis of the batched multi-RHS solve over the mesh
+    reproduces the replicated vmapped solve lane-exactly -- the 'data
+    parallel' axis of this workload (sources are embarrassingly parallel)."""
+    from jax.sharding import Mesh as JMesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nx, deg, K = 8, 3, 8
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    ddh = DDH(omega, np.ones(fem.ndof), fem, nx=nx, ny=nx)
+
+    rng = np.random.default_rng(0)
+    bs_np = rng.standard_normal((K, 2 * fem.ndof)).astype(np.float32) * 1e-2
+    jmesh = JMesh(np.array(jax.devices()[:8]), ("src",))
+    bs = jax.device_put(jnp.asarray(bs_np), NamedSharding(jmesh, P("src")))
+
+    def solve_one(b):
+        Y = ddh.rhs(b)
+        out = gmres(ddh.action, Y, m=10, maxit=8, tol=1e-3)
+        return ddh.postprocess(out.x, b), out.num_matvec
+
+    solve = jax.jit(jax.vmap(solve_one))
+    Us, nmv = solve(bs)
+    assert "src" in str(Us.sharding.spec)  # result stays sharded
+    U_ref, nmv_ref = solve(jnp.asarray(bs_np))
+    assert np.array_equal(np.asarray(nmv), np.asarray(nmv_ref))
+    d = np.linalg.norm(np.asarray(Us) - np.asarray(U_ref)) / np.linalg.norm(
+        np.asarray(U_ref)
+    )
+    assert d < 1e-5, d
