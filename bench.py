@@ -74,6 +74,12 @@ def main():
         T = ddh.precompute_transfer()
         T.block_until_ready()
         log(f"transfer precompute {time.perf_counter()-t0:.1f}s: T {T.shape}")
+        t0 = time.perf_counter()
+        io = ddh.precompute_io_maps()
+        if io is not None:
+            io.Pu.block_until_ready()
+        log(f"io-maps precompute {time.perf_counter()-t0:.1f}s "
+            f"(rhs/postprocess as matmuls: no wave cycle in the solve)")
 
     with jax.default_device(jax.devices("cpu")[0]):
         b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float32)

@@ -53,6 +53,18 @@ def _setup_scope():
     return jax.default_device(cpus[0])
 
 
+def _want_io_maps() -> bool:
+    """Precompute the rhs/postprocess linear maps on accelerator backends
+    (where the probe cycles are cheap and every solve reuses them); on CPU
+    the probes cost more than they save, so require CUDDH_IO_MAPS=1."""
+    import os
+
+    v = os.environ.get("CUDDH_IO_MAPS")
+    if v is not None:
+        return v not in ("0", "false", "")
+    return jax.default_backend() != "cpu"
+
+
 def write_history(path: str, res_norm, times=None) -> None:
     """Write the per-restart residual history in the reference's text format
     (``res_norm time`` per line, scientific notation; Helmholtz.cpp:165-171).
@@ -311,6 +323,8 @@ def run_ddh(
         )
     if transfer:
         ddh.precompute_transfer()
+        if _want_io_maps():
+            ddh.precompute_io_maps()  # rhs/postprocess as matmuls too
     setup_s = time.perf_counter() - t_setup
 
     @jax.jit
@@ -420,6 +434,8 @@ def run_ddh_multi_source(
     ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx)
     if transfer:
         ddh.precompute_transfer()
+        if _want_io_maps():
+            ddh.precompute_io_maps()  # rhs/postprocess as matmuls too
     setup_s = time.perf_counter() - t_setup
 
     def solve_one(b):
@@ -535,6 +551,8 @@ def run_helmholtz_ddh(
         )
     if transfer:
         ddh.precompute_transfer()
+        if _want_io_maps():
+            ddh.precompute_io_maps()  # rhs/postprocess as matmuls too
     setup_s = time.perf_counter() - t_setup
 
     def P(v):

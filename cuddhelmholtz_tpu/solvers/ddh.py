@@ -415,6 +415,7 @@ class DDH:
         self.route: RollRoute | None = None
         self.route_offs: tuple = ()
         self.route_perms: tuple = ()
+        self.io: IOMaps | None = None
 
         # Forcing split across subdomains.  The reference feeds the FULL
         # global rhs row to every subdomain that touches it (DDH.cpp:209-212),
@@ -492,6 +493,31 @@ class DDH:
             precision=self.precision,
         )
 
+    def _domain_groups(self):
+        """Identical-subdomain dedup: (unique indices, group of each domain,
+        unique count).  Domains with bitwise-identical cycle data (S, Ha,
+        inv_mi, Hf, fslot, a2wf) have identical probe responses."""
+        p = self.params
+        fslot, Hf = self._fslot_np, self._Hf_np
+        pad = self.pad
+        ndom = fslot.shape[0]
+        parts = [
+            np.asarray(p.Ha),
+            np.asarray(p.inv_mi),
+            np.asarray(p.a2wf),
+            Hf,
+            fslot.astype(np.float64),
+        ]
+        if p.S.ndim == 3:
+            rng = np.random.default_rng(0)
+            probe = np.asarray(p.S) @ rng.standard_normal((pad, 2)).astype(np.float32)
+            parts.append(probe.reshape(ndom, -1))
+        key = np.concatenate(
+            [np.ascontiguousarray(x, dtype=np.float64) for x in parts], axis=1
+        )
+        _, uidx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+        return uidx, inv.reshape(-1), len(uidx)
+
     def precompute_transfer(self, chunk: int | None = None) -> jax.Array:
         """Precompute the dense per-subdomain trace-transfer (scattering) operator.
 
@@ -524,21 +550,11 @@ class DDH:
         # with piecewise-constant coefficients have only a handful of
         # distinct domain types), so run the ~2pf wave-cycle columns for the
         # UNIQUE domains only.
+        uidx, inv, nu = self._domain_groups()
+        self._T_groups = inv
         Ha_np = np.asarray(p.Ha)
         mi_np = np.asarray(p.inv_mi)
         a2wf_np = np.asarray(p.a2wf)
-        parts = [Ha_np, mi_np, a2wf_np, Hf, fslot.astype(np.float64)]
-        if p.S.ndim == 3:
-            rng = np.random.default_rng(0)
-            probe = np.asarray(p.S) @ rng.standard_normal((pad, 2)).astype(np.float32)
-            parts.append(probe.reshape(ndom, -1))
-        key = np.concatenate(
-            [np.ascontiguousarray(x, dtype=np.float64) for x in parts], axis=1
-        )
-        _, uidx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
-        inv = inv.reshape(-1)
-        nu = len(uidx)
-        self._T_groups = inv
 
         # one-hot trace forcing columns: column k (< pf) puts Hf[d, k] at
         # fslot[d, k] in F (the lam side); column pf + k does the same in G
@@ -622,9 +638,105 @@ class DDH:
             self.route, self.route_offs, self.route_perms = built
         return self.T
 
+    def precompute_io_maps(self, chunk: int | None = None, max_bytes: int = 1 << 29):
+        """Precompute the rhs/postprocess linear maps (see ``IOMaps``).
+
+        Probes the production cycle with one-hot forcing columns (2*pad) and
+        one-hot trace columns (2*pf) for the UNIQUE subdomains; afterwards
+        ``rhs`` and ``postprocess`` are batched matmuls -- no wave cycle
+        executes anywhere in a solve once this and ``precompute_transfer``
+        have run.  Returns None (and leaves the wave path in use) when the
+        stored maps would exceed ``max_bytes`` (very heterogeneous
+        partitions).
+        """
+        p = self.params
+        fslot, Hf = self._fslot_np, self._Hf_np
+        ndom, pf = fslot.shape
+        pad = self.pad
+        uidx, inv, nu = self._domain_groups()
+        need = 4 * nu * (2 * pad * 2 * pad + 2 * pf * 2 * pad + 2 * pad * 2 * pf)
+        if need > max_bytes:
+            return None
+        ncols = 2 * pad + 2 * pf
+
+        fslot_u, Hf_u = fslot[uidx], Hf[uidx]
+        a2wf_u = jnp.asarray(np.asarray(p.a2wf)[uidx])
+        fs_u = jnp.asarray(np.maximum(fslot_u, 0))
+        Ha_u = jnp.asarray(np.asarray(p.Ha)[uidx])
+        mi_u = jnp.asarray(np.asarray(p.inv_mi)[uidx])
+        S_u = p.S if p.S.ndim == 2 else p.S[jnp.asarray(uidx)]
+
+        # probe columns: j < pad -> F one-hot e_j; j < 2pad -> G one-hot;
+        # last 2pf -> trace columns through the Hf face embedding (the same
+        # columns the transfer operator probes)
+        cols = np.zeros((ncols, 2, nu, pad), np.float32)
+        cols[np.arange(pad), 0, :, np.arange(pad)] = 1.0
+        cols[pad + np.arange(pad), 1, :, np.arange(pad)] = 1.0
+        kk, dd = np.meshgrid(np.arange(pf), np.arange(nu), indexing="ij")
+        sl = np.maximum(fslot_u, 0)
+        base = 2 * pad
+        cols[base + kk, 0, dd, sl[dd, kk]] = Hf_u[dd, kk]
+        cols[base + pf + kk, 1, dd, sl[dd, kk]] = Hf_u[dd, kk]
+
+        if chunk is None:
+            if S_u.ndim == 3:
+                chunk = int(max(1, min(ncols, (1 << 23) // max(1, nu * pad * pad))))
+            else:
+                chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
+        use_pallas = self._use_pallas()
+        wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
+
+        @jax.jit
+        def run_chunk(Fb, Gb):
+            c = Fb.shape[0]
+            p2 = p._replace(
+                Ha=jnp.tile(Ha_u, (c, 1)),
+                inv_mi=jnp.tile(mi_u, (c, 1)),
+                S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
+            )
+            u, v = _wave_cycle(
+                p2,
+                Fb.reshape(c * nu, pad),
+                Gb.reshape(c * nu, pad),
+                wh_maxit,
+                use_pallas,
+                precision,
+            )
+            return u.reshape(c, nu, pad), v.reshape(c, nu, pad) / omega
+
+        us, vs = [], []
+        for k0 in range(0, ncols, chunk):
+            c = min(chunk, ncols - k0)
+            u, v = run_chunk(
+                jnp.asarray(cols[k0 : k0 + c, 0]), jnp.asarray(cols[k0 : k0 + c, 1])
+            )
+            us.append(u)
+            vs.append(v)
+        U = jnp.concatenate(us, axis=0)  # (ncols, nu, pad)
+        V = jnp.concatenate(vs, axis=0)
+
+        bshape = (base, nu, pf)
+        Uf = jnp.take_along_axis(U[:base], jnp.broadcast_to(fs_u[None], bshape), axis=2)
+        Vf = jnp.take_along_axis(V[:base], jnp.broadcast_to(fs_u[None], bshape), axis=2)
+        R = jnp.concatenate([a2wf_u[None] * Vf, a2wf_u[None] * Uf], axis=2)
+        dt = self.dtype
+        self.io = IOMaps(
+            Pu=jnp.transpose(U[:base], (1, 2, 0)).astype(dt),
+            Pv=jnp.transpose(V[:base], (1, 2, 0)).astype(dt),
+            R=jnp.transpose(R, (1, 2, 0)).astype(dt),
+            Pul=jnp.transpose(U[base : base + 2 * pf], (1, 2, 0)).astype(dt),
+            Pvl=jnp.transpose(V[base : base + 2 * pf], (1, 2, 0)).astype(dt),
+            onehot=jnp.asarray(
+                (inv[None, :] == np.arange(nu)[:, None]).astype(np.float32)
+            ),
+        )
+        return self.io
+
     def rhs(self, f: jax.Array) -> jax.Array:
         """Substructured RHS from the Helmholtz forcing (DDH.cpp:641-667)."""
         self._debug_finite("DDH.rhs input", f)
+        if self.use_transfer and self.io is not None:
+            return ddh_rhs_io(self.params, self.io, f, self.g_ndof, self.n_lambda)
         return ddh_rhs(
             self.params,
             f,
@@ -638,6 +750,10 @@ class DDH:
     def postprocess(self, lam: jax.Array, f: jax.Array) -> jax.Array:
         """Recover the (u, v) solution (DDH.cpp:669-695)."""
         self._debug_finite("DDH.postprocess lambda", lam)
+        if self.use_transfer and self.io is not None:
+            return ddh_postprocess_io(
+                self.params, self.io, lam, f, self.g_ndof, self.n_own
+            )
         return ddh_postprocess(
             self.params,
             lam,
@@ -662,6 +778,48 @@ class DDH:
             return jax.default_backend() == "tpu"
         except Exception:
             return False
+
+
+class IOMaps(NamedTuple):
+    """Precomputed linear input/output maps for ``rhs`` and ``postprocess``.
+
+    The WaveHoltz cycle is linear in its forcing (F, G) and incoming traces,
+    so the two real wave cycles the reference runs per solve (rhs: forcing ->
+    transmission traces, DDH.cpp:641-667; postprocess: (lambda, forcing) ->
+    solution, DDH.cpp:669-695) collapse to batched matmuls against maps
+    probed once per UNIQUE subdomain (same dedup as the trace-transfer
+    operator).  Shapes: pad = padded subdomain size, pf = padded face count,
+    nu = unique-domain count.
+    """
+
+    Pu: jax.Array  # (nu, pad, 2pad)  (F, G) -> u
+    Pv: jax.Array  # (nu, pad, 2pad)  (F, G) -> v/omega
+    R: jax.Array  # (nu, 2pf, 2pad)  (F, G) -> [a2wf*vf, a2wf*uf]
+    Pul: jax.Array  # (nu, pad, 2pf)  (lam0, mu0) -> u
+    Pvl: jax.Array  # (nu, pad, 2pf)  (lam0, mu0) -> v/omega
+    onehot: jax.Array  # (nu, ndom) group membership
+
+
+def _group_apply(M: jax.Array, x: jax.Array, onehot: jax.Array) -> jax.Array:
+    """y[d] = M[group(d)] @ x[d] without materialising the per-domain stack:
+    one matmul per unique matrix (nu is small after dedup), then a one-hot
+    combine."""
+    ys = jnp.einsum("uoi,di->udo", M, x, precision="highest")
+    return jnp.einsum("udo,ud->do", ys, onehot, precision="highest")
+
+
+def _b1_scatter(params: DDHParams, upd_l, upd_m, n_lambda: int, dtype):
+    """Write per-domain face updates to the dual trace slots (B1 table,
+    last-write-wins set; DDH.cpp:309-319)."""
+    has1 = params.B1 >= 0
+    idx = jnp.where(has1, params.B1, n_lambda)
+    out_l = jnp.zeros(n_lambda + 1, dtype=dtype).at[idx.reshape(-1)].set(
+        jnp.where(has1, upd_l, 0.0).reshape(-1).astype(dtype), mode="drop"
+    )[:n_lambda]
+    out_m = jnp.zeros(n_lambda + 1, dtype=dtype).at[idx.reshape(-1)].set(
+        jnp.where(has1, upd_m, 0.0).reshape(-1).astype(dtype), mode="drop"
+    )[:n_lambda]
+    return jnp.concatenate([out_l, out_m])
 
 
 class RollRoute(NamedTuple):
@@ -1025,15 +1183,7 @@ def _transfer_update(
     w = jnp.einsum("dik,dk->di", T, x, precision="highest")
     upd_l = -lam0 - w[:, :pf]
     upd_m = -mu0 + w[:, pf:]
-    has1 = params.B1 >= 0
-    idx = jnp.where(has1, params.B1, n_lambda)
-    out_l = jnp.zeros(n_lambda + 1, dtype=lam.dtype).at[idx.reshape(-1)].set(
-        jnp.where(has1, upd_l, 0.0).reshape(-1).astype(lam.dtype), mode="drop"
-    )[:n_lambda]
-    out_m = jnp.zeros(n_lambda + 1, dtype=lam.dtype).at[idx.reshape(-1)].set(
-        jnp.where(has1, upd_m, 0.0).reshape(-1).astype(lam.dtype), mode="drop"
-    )[:n_lambda]
-    return jnp.concatenate([out_l, out_m])
+    return _b1_scatter(params, upd_l, upd_m, n_lambda, lam.dtype)
 
 
 def _transfer_matmul(route: RollRoute, x: jax.Array) -> jax.Array:
@@ -1152,4 +1302,39 @@ def ddh_postprocess(
     F, G, _, _ = _forcing(params, f, lam, g_ndof, n_own)
     u, v = _wave_cycle(params, F, G, wh_maxit, use_pallas, precision)
     v = v / params.omega
+    return _scatter_solution(params, u, v, g_ndof)
+
+
+@partial(jax.jit, static_argnames=("g_ndof", "n_lambda"))
+def ddh_rhs_io(
+    params: DDHParams, io: IOMaps, f: jax.Array, g_ndof: int, n_lambda: int
+):
+    """``ddh_rhs`` via the precomputed forcing->trace map: no wave cycle
+    executes (algebraically identical -- the cycle is linear in (F, G))."""
+    F, G, _, _ = _forcing(params, f, None, g_ndof)
+    pf = params.Hf.shape[1]
+    x = jnp.concatenate([F, G], axis=1).astype(io.R.dtype)
+    w = _group_apply(io.R, x, io.onehot)
+    return _b1_scatter(params, -w[:, :pf], w[:, pf:], n_lambda, x.dtype)
+
+
+@partial(jax.jit, static_argnames=("g_ndof", "n_own"))
+def ddh_postprocess_io(
+    params: DDHParams,
+    io: IOMaps,
+    lam: jax.Array,
+    f: jax.Array,
+    g_ndof: int,
+    n_own: int,
+):
+    """``ddh_postprocess`` via the precomputed (forcing, trace)->solution
+    maps: u = Pu.[F;G] + Pul.[lam0;mu0] (likewise v), then the mass-weighted
+    global scatter."""
+    F, G, _, _ = _forcing(params, f, None, g_ndof)
+    n_lambda = lam.shape[0] // 2
+    lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
+    x = jnp.concatenate([F, G], axis=1).astype(io.Pu.dtype)
+    tr = jnp.concatenate([lam0, mu0], axis=1).astype(io.Pu.dtype)
+    u = _group_apply(io.Pu, x, io.onehot) + _group_apply(io.Pul, tr, io.onehot)
+    v = _group_apply(io.Pv, x, io.onehot) + _group_apply(io.Pvl, tr, io.onehot)
     return _scatter_solution(params, u, v, g_ndof)

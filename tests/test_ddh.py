@@ -323,3 +323,35 @@ def test_ddh_solves_helmholtz_deg7():
     xd = np.linalg.solve(A, np.asarray(b))
     rel = np.linalg.norm(np.asarray(U) - xd) / np.linalg.norm(xd)
     assert rel < 0.15, rel
+
+
+def test_ddh_io_maps_match_wave_path():
+    """The precomputed rhs/postprocess linear maps (IOMaps) reproduce the
+    wave-cycle rhs and postprocess to fp32 accuracy: after precompute, a
+    whole solve runs without executing a single wave cycle."""
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 2.5  # keeps the CFL time grid at nt = 200
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    rng = np.random.default_rng(0)
+    a_nodal = 1.0 + 0.3 * rng.random(fem.ndof)  # rough medium: all domains unique
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8)
+    assert ddh.nt == 200
+
+    f = jnp.asarray(rng.standard_normal(2 * fem.ndof).astype(np.float32) * 1e-2)
+    lam = jnp.asarray(rng.standard_normal(ddh.size).astype(np.float32))
+    b_wave = np.asarray(ddh.rhs(f))
+    u_wave = np.asarray(ddh.postprocess(lam, f))
+
+    io = ddh.precompute_io_maps()
+    assert io is not None and io.Pu.shape[0] == ddh.n_domains  # no dedup here
+    ddh.use_transfer = True
+    b_io = np.asarray(ddh.rhs(f))
+    u_io = np.asarray(ddh.postprocess(lam, f))
+    assert np.linalg.norm(b_io - b_wave) / np.linalg.norm(b_wave) < 2e-5
+    assert np.linalg.norm(u_io - u_wave) / np.linalg.norm(u_wave) < 2e-5
+
+    # memory guard: a tiny cap refuses and leaves the wave path in use
+    ddh2 = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8)
+    assert ddh2.precompute_io_maps(max_bytes=1024) is None
+    assert ddh2.io is None
