@@ -11,8 +11,15 @@ one write of (u, v) per apply, while every time step runs
   z = p @ S        -- (DB, pad) x (pad, pad) fp32 matmul on the MXU
   elementwise leapfrog updates -- VPU
 This makes the cycle compute-bound (the XLA scan fallback is HBM-bound:
-state round-trips per step).  Requires the shared-stiffness case (identical
-subdomains, e.g. uniform meshes); ragged/per-domain-S cases use the XLA path.
+state round-trips per step).
+
+Per-domain stiffness stacks (unstructured partitions, heterogeneous
+coefficients) run the same way: the grid blocks over subdomains and each
+block's (DB, pad, pad) stiffness stack is loaded into VMEM ONCE per apply
+(indexed by grid position) and reused across the whole 5 x nt loop, with a
+batched ``dot_general`` per step.  The reference's single kernel serves any
+partition (``DDH.cpp:111-321``); so does this one.  Only a pad too large for
+a single S matrix to fit VMEM falls back to the XLA path.
 """
 
 from __future__ import annotations
@@ -39,6 +46,32 @@ def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref
     mi = mi_ref[...]
     S = S_ref[...]
     db = F.shape[0]
+    batched = S.ndim == 3  # per-domain stiffness stack (DB, pad, pad)
+
+    def _dot(P, M, prec):
+        # precision must be explicit: in the bf16 split the operands are
+        # already bf16 (DEFAULT is exact there) and Mosaic cannot lower the
+        # package-wide HIGHEST default for bf16 lhs/rhs
+        if batched:
+            # P (DB, r, pad) x M (DB, pad, pad) -> (DB, r, pad), batched over
+            # the subdomain axis
+            return lax.dot_general(
+                P,
+                M,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        return jnp.dot(P, M, preferred_element_type=jnp.float32, precision=prec)
+
+    def _stack(p, ph):
+        # stack along the matmul row axis: axis 0 (shared S) or 1 (batched)
+        return jnp.concatenate(
+            [p[:, None], ph[:, None]], axis=1
+        ) if batched else jnp.concatenate([p, ph], axis=0)
+
+    def _unstack2(Z):
+        return (Z[:, 0], Z[:, 1]) if batched else (Z[:db], Z[db:])
 
     # Each step needs S @ p and S @ p_half; p_half = p - dt/2 q depends only
     # on the incoming state, so both products run as ONE stacked matmul.
@@ -54,37 +87,22 @@ def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref
         S2 = (S - S1.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def matS_pair(p, ph):
-            P = jnp.concatenate([p, ph], axis=0)
+            P = _stack(p, ph)
             P1 = P.astype(jnp.bfloat16)
             P2 = (P - P1.astype(jnp.float32)).astype(jnp.bfloat16)
-            # precision must be explicit: operands are already bf16 (DEFAULT
-            # is exact) and Mosaic cannot lower the package-wide HIGHEST
-            # default for bf16 lhs/rhs
-            Za = jnp.dot(
-                jnp.concatenate([P1, P2], axis=0),
-                S1,
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.DEFAULT,
-            )
-            Zb = jnp.dot(
-                P1,
-                S2,
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.DEFAULT,
-            )
-            Z = Za[: 2 * db] + Za[2 * db :] + Zb
-            return Z[:db], Z[db:]
+            ax = 1 if batched else 0
+            Za = _dot(jnp.concatenate([P1, P2], axis=ax), S1, lax.Precision.DEFAULT)
+            Zb = _dot(P1, S2, lax.Precision.DEFAULT)
+            if batched:
+                Z = Za[:, :2] + Za[:, 2:] + Zb
+            else:
+                Z = Za[: 2 * db] + Za[2 * db :] + Zb
+            return _unstack2(Z)
 
     else:
 
         def matS_pair(p, ph):
-            Z = jnp.dot(
-                jnp.concatenate([p, ph], axis=0),
-                S,
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            return Z[:db], Z[db:]
+            return _unstack2(_dot(_stack(p, ph), S, precision))
 
     def step(t, carry):
         p, q, u, v = carry
@@ -125,30 +143,55 @@ def wave_cycle_pallas(
 ):
     """Run the WaveHoltz cycle with subdomain state resident in VMEM.
 
-    ``params`` is a ``DDHParams`` with a shared (pad, pad) stiffness.  The
-    subdomain batch is padded to a multiple of ``block_domains``; padded rows
-    have zero coefficients so their state stays identically zero.
+    ``params`` is a ``DDHParams`` with a shared (pad, pad) stiffness or a
+    per-domain (ndom, pad, pad) stack (unstructured partitions,
+    heterogeneous coefficients).  The subdomain batch is padded to a
+    multiple of ``block_domains``; padded rows have zero coefficients so
+    their state stays identically zero.  In the per-domain case the grid
+    blocks over subdomains and each block's stiffness stack is staged into
+    VMEM once per apply; only a pad so large that a single matrix exceeds
+    the VMEM budget falls back to the XLA scan.
 
     ``interpret=True`` runs the kernel through the Pallas interpreter
     (device-independent) so CI on the CPU mesh covers the same code path the
     TPU executes, including the 3-pass bf16 split.
     """
-    if params.S.ndim != 2:
-        from ...solvers.ddh import _wave_cycle_xla
+    ndom, pad = F.shape
+    per_domain = params.S.ndim == 3
+    # VMEM budget for the S stack (~8 MB of the ~16 MB/core): DB matrices of
+    # pad^2 fp32 (+ bf16 split copies) must fit alongside the state.  Mosaic
+    # requires row blocks with DB % 8 == 0 (or DB == the full batch), so a
+    # budget below 8 domains per block falls back to the XLA scan.
+    if per_domain:
+        s_budget = (1 << 23) // (pad * pad * 8)
+        if params.S.shape[0] != ndom:
+            from ...solvers.ddh import _wave_cycle_xla
 
-        return _wave_cycle_xla(params, F, G, wh_maxit, precision)
+            return _wave_cycle_xla(params, F, G, wh_maxit, precision)
+        bd = min(block_domains, s_budget)
+        if bd < ndom:
+            bd = (bd // 8) * 8
+            if bd == 0:
+                from ...solvers.ddh import _wave_cycle_xla
+
+                return _wave_cycle_xla(params, F, G, wh_maxit, precision)
+        block_domains = bd
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
 
-    ndom, pad = F.shape
     nt = params.tables.shape[0]
-    DB = max(8, min(block_domains, ndom))
+    DB = max(1 if per_domain else 8, min(block_domains, ndom))
     n_pad = (-ndom) % DB
+    S = params.S
     if n_pad:
         z = jnp.zeros((n_pad, pad), dtype=F.dtype)
         F = jnp.concatenate([F, z])
         G = jnp.concatenate([G, z])
         Ha = jnp.concatenate([params.Ha, z])
         mi = jnp.concatenate([params.inv_mi, z])
+        if per_domain:
+            # padded rows multiply against S[0]; their zero coefficients keep
+            # the state identically zero regardless
+            S = jnp.concatenate([S, jnp.broadcast_to(S[:1], (n_pad, pad, pad))])
     else:
         Ha, mi = params.Ha, params.inv_mi
     ndom_p = ndom + n_pad
@@ -165,6 +208,11 @@ def wave_cycle_pallas(
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(zero32 for _ in shape), memory_space=pltpu.VMEM
     )
+    s_spec = (
+        pl.BlockSpec((DB, pad, pad), lambda i: (i, zero32, zero32), memory_space=pltpu.VMEM)
+        if per_domain
+        else full(S.shape)
+    )
 
     flops = 2 * wh_maxit * nt * 2 * ndom_p * pad * pad
     u, v = pl.pallas_call(
@@ -173,7 +221,7 @@ def wave_cycle_pallas(
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             full(params.tables.shape),
-            full(params.S.shape),
+            s_spec,
             row_spec,
             row_spec,
             row_spec,
@@ -185,8 +233,10 @@ def wave_cycle_pallas(
             jax.ShapeDtypeStruct((ndom_p, pad), F.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=8 * ndom_p * pad * 4, transcendentals=0
+            flops=flops,
+            bytes_accessed=8 * ndom_p * pad * 4 + (ndom_p * pad * pad * 4 if per_domain else 0),
+            transcendentals=0,
         ),
         interpret=interpret,
-    )(scal, params.tables, params.S, F, G, Ha, mi)
+    )(scal, params.tables, S, F, G, Ha, mi)
     return u[:ndom], v[:ndom]

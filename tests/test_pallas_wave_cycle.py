@@ -56,6 +56,66 @@ def test_interpret_matches_xla(small_params, precision):
         assert err_u < 1e-3
 
 
+@pytest.fixture(scope="module")
+def per_domain_params():
+    """A jittered structured mesh: every subdomain assembles a DIFFERENT
+    stiffness matrix, exercising the per-domain-S kernel path (grid-indexed
+    (DB, pad, pad) stacks in VMEM) that unstructured partitions and
+    heterogeneous coefficients hit in production."""
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 2.5
+    mesh0 = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    rng = np.random.default_rng(3)
+    verts = mesh0.vertices.copy()
+    interior = (np.abs(np.abs(verts[:, 0]) - 1.0) > 1e-12) & (
+        np.abs(np.abs(verts[:, 1]) - 1.0) > 1e-12
+    )
+    verts[interior] += 0.15 * (2.0 / nx) * rng.uniform(-1, 1, (interior.sum(), 2))
+    mesh = Mesh2D.from_vertices(verts, mesh0.elem_vertices)
+    fem = H1Space(mesh, Basis(deg + 1))
+    a_nodal = 1.0 + 0.2 * rng.random(fem.ndof)
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8, nt_override=60)
+    assert not ddh.shared_S and ddh.params.S.ndim == 3
+    ndom, pad = ddh.params.Ha.shape
+    F = (rng.standard_normal((ndom, pad)) * np.asarray(ddh.params.gmask)).astype(
+        np.float32
+    )
+    G = (rng.standard_normal((ndom, pad)) * np.asarray(ddh.params.gmask)).astype(
+        np.float32
+    )
+    return ddh.params, jnp.asarray(F), jnp.asarray(G)
+
+
+@pytest.mark.parametrize("precision", ["high", "default"])
+def test_interpret_per_domain_matches_xla(per_domain_params, precision):
+    params, F, G = per_domain_params
+    u_x, v_x = _wave_cycle_xla(params, F, G, 5, precision="highest")
+    u_p, v_p = wave_cycle_pallas(
+        params, F, G, wh_maxit=5, precision=precision, interpret=True
+    )
+    scale = float(jnp.abs(u_x).max())
+    tol = 2e-4 if precision == "high" else 5e-2
+    err_u = float(jnp.abs(u_p - u_x).max()) / scale
+    err_v = float(jnp.abs(v_p - v_x).max()) / max(float(jnp.abs(v_x).max()), 1e-30)
+    assert err_u < tol, (precision, err_u)
+    assert err_v < tol, (precision, err_v)
+
+
+def test_interpret_per_domain_blocking_and_padding(per_domain_params):
+    """Per-domain blocking (ndom=16, DB=8: two grid steps); each block must
+    read ITS OWN stiffness stack (grid-position indexing) and the result
+    must match the single-block run."""
+    params, F, G = per_domain_params
+    assert params.Ha.shape[0] == 16
+    u_a, v_a = wave_cycle_pallas(F=F, G=G, params=params, wh_maxit=2, interpret=True)
+    u_b, v_b = wave_cycle_pallas(
+        F=F, G=G, params=params, wh_maxit=2, block_domains=8, interpret=True
+    )
+    assert not np.array_equal(np.asarray(u_b), np.zeros_like(np.asarray(u_b)))
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_a), rtol=0, atol=1e-5)
+
+
 def test_interpret_blocking_and_padding(small_params):
     """Domain-batch blocking (several grid steps) and padding rows must not
     change the result."""
