@@ -60,26 +60,25 @@ def main():
         mi = make_diag_inv_mass_op(fem, dtype=jnp.float32)
         a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a), dtype=np.float64)
     ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx)
+    setup_seconds = time.perf_counter() - t0
     log(
-        f"setup {time.perf_counter()-t0:.1f}s: ndof={fem.ndof} ndom={ddh.n_domains} "
+        f"setup {setup_seconds:.1f}s: ndof={fem.ndof} ndom={ddh.n_domains} "
         f"n_lambda={ddh.size} nt={ddh.nt} pad={ddh.pad} shared_S={ddh.shared_S}"
     )
 
-    # precompute the per-subdomain trace-transfer (scattering) matrices: the
-    # wave cycle is linear in the traces, so each GMRES matvec becomes one
-    # batched (ndom, 2pf) @ (2pf, 2pf) matmul (identical algebra; validated in
-    # tests/test_ddh.py).  One-time cost ~ 2*pf equivalent matvecs.
+    # precompute the per-subdomain trace-transfer (scattering) matrices and
+    # the rhs/postprocess io maps: the wave cycle is linear in traces and
+    # forcing, so every GMRES matvec becomes one batched (ndom, 2pf) @
+    # (2pf, 2pf) matmul and no wave cycle executes in the solve (identical
+    # algebra; validated in tests/test_ddh.py).  ``prepare`` disk-caches the
+    # maps by config hash, so repeat runs skip the probes AND their
+    # compiles; per-chunk timings are recorded to pin setup cost down.
+    pstats = {}
     if not os.environ.get("BENCH_NO_TRANSFER"):
         t0 = time.perf_counter()
-        T = ddh.precompute_transfer()
-        T.block_until_ready()
-        log(f"transfer precompute {time.perf_counter()-t0:.1f}s: T {T.shape}")
-        t0 = time.perf_counter()
-        io = ddh.precompute_io_maps()
-        if io is not None:
-            io.Pu.block_until_ready()
-        log(f"io-maps precompute {time.perf_counter()-t0:.1f}s "
-            f"(rhs/postprocess as matmuls: no wave cycle in the solve)")
+        pstats = ddh.prepare()
+        pstats["precompute_seconds"] = time.perf_counter() - t0
+        log(f"transfer/io precompute {pstats['precompute_seconds']:.1f}s: {pstats}")
 
     with jax.default_device(jax.devices("cpu")[0]):
         b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float32)
@@ -185,6 +184,60 @@ def main():
         f"{cyc_nnz_s:.3e} nnz/s, {cyc_flops/cyc_secs/1e12:.1f} TFLOP/s dense"
     )
 
+    # ---- BASELINE configs 4 + composite (driver-captured artifacts) -------
+    # The BASELINE target metric is "GMRES iters-to-1e-6 on the unstructured
+    # square"; record it (and the reference config-4 lambda solve) from the
+    # real drivers every round so it is a TPU-measured artifact, not only a
+    # CPU test.  Failures here must never kill the headline metric.
+    baseline_extras = {}
+    if not os.environ.get("BENCH_SKIP_CONFIGS"):
+        import subprocess
+
+        from cuddhelmholtz_tpu.config import BASELINE_CONFIGS
+        from cuddhelmholtz_tpu.examples.drivers import run_config
+
+        by_name = {c.name: c for c in BASELINE_CONFIGS}
+
+        def record(name, r, t0):
+            baseline_extras[name] = {
+                "success": bool(r.success),
+                "restarts": int(r.num_iter),
+                "matvecs": int(r.num_matvec),
+                "solve_seconds": r.seconds,
+                "total_seconds": time.perf_counter() - t0,
+                "final_rel_res": float(r.res_norm[-1] / r.res_norm[0]),
+            }
+            log(f"{name}: {baseline_extras[name]}")
+
+        try:
+            t0 = time.perf_counter()
+            record("ddh_unstructured_square", run_config(by_name["ddh_unstructured_square"]), t0)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            baseline_extras["ddh_unstructured_square"] = {"error": repr(e)[:200]}
+            log(f"ddh_unstructured_square FAILED: {e!r}")
+
+        # the composite 1e-6 solves run fp64 OUTER FGMRES: x64 is a
+        # process-global flag decided at import, so run them in a
+        # subprocess with CUDDH_X64=1 (this process stays fp32/Pallas)
+        for name in ("helmholtz_ddh_1e6", "helmholtz_ddh_unstructured_1e6"):
+            p = None
+            try:
+                t0 = time.perf_counter()
+                env = dict(os.environ, CUDDH_X64="1")
+                p = subprocess.run(
+                    [sys.executable, "-m", "cuddhelmholtz_tpu.examples.drivers", name],
+                    capture_output=True, text=True, timeout=1800, env=env,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                rec = json.loads(p.stdout.strip().splitlines()[-1])
+                rec["total_seconds"] = time.perf_counter() - t0
+                baseline_extras[name] = rec
+                log(f"{name}: {rec}")
+            except Exception as e:  # pragma: no cover - diagnostics only
+                tail = p.stderr[-300:] if p is not None and p.stderr else ""
+                baseline_extras[name] = {"error": repr(e)[:200], "stderr": tail}
+                log(f"{name} FAILED: {e!r} {tail}")
+
     print(
         json.dumps(
             {
@@ -194,11 +247,14 @@ def main():
                 "vs_baseline": 1.0,
                 "extras": {
                     "solve_seconds": secs,
+                    "setup_seconds": setup_seconds,
                     "gmres_restarts": int(out.num_iter),
                     "gmres_matvecs": int(out.num_matvec),
                     "wave_cycle_executed_nnz_s": cyc_nnz_s,
                     "wave_cycle_ms_per_apply": cyc_secs * 1e3,
                     "wave_cycle_dense_tflops": cyc_flops / cyc_secs / 1e12,
+                    "precompute": pstats,
+                    "baseline_configs": baseline_extras,
                 },
             }
         )

@@ -18,7 +18,18 @@ Layer map (mirrors SURVEY.md section 1):
   examples/   drivers reproducing the reference configs (L6)
 """
 
+import os as _os
+
 import jax as _jax
+
+# Process-global x64 policy, decided at import: set CUDDH_X64=1 to enable
+# fp64 (the reference's global-system precision) for this process.  The
+# package never flips jax_enable_x64 mid-process -- doing so silently
+# disables the Pallas fast path for everything traced afterwards (Mosaic
+# cannot legalize the i64 scalars x64 injects); drivers asked for float64
+# without x64 raise instead (docs/DTYPES.md).
+if _os.environ.get("CUDDH_X64", "") not in ("", "0", "false"):
+    _jax.config.update("jax_enable_x64", True)
 
 # The reference's global operators are true fp64/fp32 (SURVEY.md section 1,
 # "precision split").  On TPU the MXU multiplies in bf16, and a 1-pass
@@ -33,8 +44,6 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # or jax config).  Compiles through a remote-compile tunnel (the axon TPU
 # backend) cost 30 s to several MINUTES each and vary with pool load; caching
 # executables on disk makes every repeat run of bench/drivers compile-free.
-import os as _os
-
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
         if not _jax.config.jax_compilation_cache_dir:

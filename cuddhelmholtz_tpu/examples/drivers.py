@@ -33,12 +33,23 @@ from ..spaces.h1 import FaceSpace, H1Space
 from ..utils.basis import Basis
 
 
-def _ensure_x64(dtype) -> None:
-    """Enable jax x64 when a driver is asked for float64 (the reference's
-    global-system precision).  Without this, jnp.float64 silently degrades
-    to float32 outside the test harness (which enables x64 in conftest)."""
+def _require_x64(dtype) -> None:
+    """Fail fast when float64 is requested without x64 enabled.
+
+    JAX's x64 mode is process-global and must be decided before the first
+    trace (flipping it mid-process silently disables the Pallas fast path
+    for everything traced afterwards -- Mosaic cannot legalize the i64
+    scalars x64 injects).  The package therefore never flips the flag
+    itself: set ``CUDDH_X64=1`` in the environment (honored at package
+    import) or call ``jax.config.update('jax_enable_x64', True)`` before
+    importing.  See docs/DTYPES.md."""
     if jnp.dtype(dtype) == jnp.dtype("float64") and not jax.config.jax_enable_x64:
-        jax.config.update("jax_enable_x64", True)
+        raise RuntimeError(
+            "float64 requested but jax x64 mode is off. Set CUDDH_X64=1 in the "
+            "environment (or enable jax_enable_x64 before importing) -- the "
+            "package does not flip the flag mid-process because that silently "
+            "disables the Pallas fast path for later traces (docs/DTYPES.md)."
+        )
 
 
 def _setup_scope():
@@ -172,7 +183,7 @@ def run_poisson(
     out_dir: str | None = None,
 ) -> DriverResult:
     """The Poisson example (Poisson.cpp:84-177)."""
-    _ensure_x64(dtype)
+    _require_x64(dtype)
     mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
     fem = H1Space(mesh, Basis(deg + 1))
     fs = FaceSpace(fem, mesh.boundary_edges)
@@ -224,7 +235,7 @@ def run_helmholtz(
     ``verbose``) switches to the host-loop solver, which checks the clock
     between restarts and records per-restart times.
     """
-    _ensure_x64(dtype)
+    _require_x64(dtype)
     omega = 2 * np.pi * nx / 10
     grid = None
     if mesh is None:
@@ -321,10 +332,11 @@ def run_ddh(
         ddh = DDH(
             omega, a_nodal, fem, element_labels=element_labels, wh_maxit=wh_maxit
         )
+    pstats = {}
     if transfer:
-        ddh.precompute_transfer()
-        if _want_io_maps():
-            ddh.precompute_io_maps()  # rhs/postprocess as matmuls too
+        # load-or-compute the transfer/io maps (disk-cached by config hash:
+        # repeat runs skip every probe cycle and their compiles)
+        pstats = ddh.prepare(want_io=_want_io_maps())
     setup_s = time.perf_counter() - t_setup
 
     @jax.jit
@@ -360,6 +372,7 @@ def run_ddh(
             "n_domains": ddh.n_domains,
             "nt": ddh.nt,
             "setup_seconds": setup_s,
+            "precompute": pstats,
             "ddh": ddh,
         },
     )
@@ -432,10 +445,11 @@ def run_ddh_multi_source(
 
     t_setup = time.perf_counter()
     ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx)
+    pstats = {}
     if transfer:
-        ddh.precompute_transfer()
-        if _want_io_maps():
-            ddh.precompute_io_maps()  # rhs/postprocess as matmuls too
+        # load-or-compute the transfer/io maps (disk-cached by config hash:
+        # repeat runs skip every probe cycle and their compiles)
+        pstats = ddh.prepare(want_io=_want_io_maps())
     setup_s = time.perf_counter() - t_setup
 
     def solve_one(b):
@@ -459,12 +473,15 @@ def run_ddh_multi_source(
         for k in range(n_sources):
             to_file(f"{out_dir}/ddh_src{k:02d}.0000", Us[k])
             write_history(f"{out_dir}/ddh_src{k:02d}_{nx}_{deg}.txt", hists[k])
+    # top-level scalar fields all describe SOURCE 0 (consistent with
+    # res_norm); aggregates over the batch live in extra (success is the
+    # one exception: the solve succeeded only if every source did)
     return DriverResult(
         solution=Us,
         coords=fem.coords,
         res_norm=hists[0],
-        num_iter=int(np.max(np.asarray(outs.num_iter))),
-        num_matvec=int(np.max(np.asarray(outs.num_matvec))),
+        num_iter=int(np.asarray(outs.num_iter)[0]),
+        num_matvec=int(np.asarray(outs.num_matvec)[0]),
         seconds=dt,
         success=bool(np.all(np.asarray(outs.success))),
         extra={
@@ -472,8 +489,11 @@ def run_ddh_multi_source(
             "ndof": fem.ndof,
             "n_sources": n_sources,
             "per_source_matvecs": np.asarray(outs.num_matvec).tolist(),
+            "per_source_restarts": np.asarray(outs.num_iter).tolist(),
+            "max_matvecs": int(np.max(np.asarray(outs.num_matvec))),
             "histories": hists,
             "setup_seconds": setup_s,
+            "precompute": pstats,
             "ddh": ddh,
         },
     )
@@ -518,7 +538,7 @@ def run_helmholtz_ddh(
     """
     from ..solvers.gmres import fgmres
 
-    _ensure_x64(dtype)
+    _require_x64(dtype)
     omega = 2 * np.pi * nx / 10
     structured = mesh is None
     if structured:
@@ -549,10 +569,11 @@ def run_helmholtz_ddh(
             omega, a_nodal, fem, element_labels=element_labels,
             n_domains=n_domains, wh_maxit=wh_maxit,
         )
+    pstats = {}
     if transfer:
-        ddh.precompute_transfer()
-        if _want_io_maps():
-            ddh.precompute_io_maps()  # rhs/postprocess as matmuls too
+        # load-or-compute the transfer/io maps (disk-cached by config hash:
+        # repeat runs skip every probe cycle and their compiles)
+        pstats = ddh.prepare(want_io=_want_io_maps())
     setup_s = time.perf_counter() - t_setup
 
     def P(v):
@@ -584,7 +605,7 @@ def run_helmholtz_ddh(
         num_matvec=int(out.num_matvec),
         seconds=dt,
         success=bool(out.success),
-        extra={"omega": omega, "ndof": fem.ndof, "setup_seconds": setup_s},
+        extra={"omega": omega, "ndof": fem.ndof, "setup_seconds": setup_s, "precompute": pstats},
     )
 
 

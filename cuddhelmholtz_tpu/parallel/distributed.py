@@ -46,6 +46,22 @@ def initialize_from_env(
         process_id = int(os.environ["CUDDH_PROCESS_ID"])
 
     if _already_initialized():
+        # Never silently ignore mismatched explicit parameters against a
+        # live client: the caller would believe their topology was applied.
+        if num_processes is not None or process_id is not None:
+            import jax as _jax
+
+            live = (_jax.process_count(), _jax.process_index())
+            want = (num_processes, process_id)
+            if (num_processes is not None and live[0] != num_processes) or (
+                process_id is not None and live[1] != process_id
+            ):
+                raise RuntimeError(
+                    f"jax.distributed already initialized with "
+                    f"(num_processes, process_id)={live}, but "
+                    f"initialize_from_env was asked for {want}; initialize "
+                    f"must happen once per process with consistent settings"
+                )
         return True
 
     if coordinator_address is None and num_processes is None:

@@ -416,6 +416,8 @@ class DDH:
         self.route_offs: tuple = ()
         self.route_perms: tuple = ()
         self.io: IOMaps | None = None
+        self.transfer_stats: dict = {}
+        self.io_stats: dict = {}
 
         # Forcing split across subdomains.  The reference feeds the FULL
         # global rhs row to every subdomain that touches it (DDH.cpp:209-212),
@@ -518,6 +520,165 @@ class DDH:
         _, uidx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
         return uidx, inv.reshape(-1), len(uidx)
 
+    # ------------------------------------------------------- precompute cache
+
+    def setup_cache_key(self) -> str:
+        """Content hash identifying the precomputed transfer/io maps.
+
+        T and the IOMaps are pure functions of the per-subdomain cycle data
+        (S, Ha, inv_mi, Hf, fslot, a2wf, time tables) and the cycle
+        parameters, so they can be persisted to disk and reloaded for any
+        DDH with the same hash -- the analog of the reference's memoized
+        metric collections (Mesh2D.cpp:343-365), but across processes.
+        Large per-domain S stacks are hashed by two deterministic probe
+        responses instead of their full bytes.
+        """
+        import hashlib
+
+        h = hashlib.sha256()
+        p = self.params
+        S_np = np.asarray(p.S)
+        if S_np.ndim == 3 and S_np.size > (1 << 24):
+            rng = np.random.default_rng(0)
+            S_np = S_np @ rng.standard_normal((self.pad, 2)).astype(S_np.dtype)
+        for arr in (
+            S_np,
+            np.asarray(p.Ha),
+            np.asarray(p.inv_mi),
+            self._Hf_np,
+            self._fslot_np,
+            np.asarray(p.a2wf),
+            np.asarray(p.tables),
+            np.asarray(p.B0),
+            np.asarray(p.B1),
+        ):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(
+            repr(
+                (
+                    self.wh_maxit,
+                    self.precision,
+                    self.pad,
+                    self.n_own,
+                    self.n_lost,
+                    self.nt,
+                    float(self.omega),
+                    float(self.dt),
+                    str(jnp.dtype(self.dtype)),
+                )
+            ).encode()
+        )
+        return h.hexdigest()[:24]
+
+    def save_precomputed(self, cache_dir: str) -> str:
+        """Persist the deduped transfer/io maps keyed by ``setup_cache_key``."""
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"ddh_{self.setup_cache_key()}.npz")
+        data = {"groups": self._T_groups}
+        if self.T is not None:
+            # first domain of each group is its representative: np.unique
+            # returns group ids sorted (= 0..nu-1) with their first indices
+            rep = np.unique(self._T_groups, return_index=True)[1]
+            data["T_u"] = np.asarray(self.T)[rep]
+        if self.io is not None:
+            for name in ("Pu", "Pv", "R", "Pul", "Pvl"):
+                data[name] = np.asarray(getattr(self.io, name))
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **data)
+        os.replace(tmp, path)
+        return path
+
+    def try_load_precomputed(self, cache_dir: str) -> bool:
+        """Load cached transfer/io maps if present; returns True on a hit.
+
+        Restores ``T`` (and the roll route) and, when cached, the io maps --
+        repeat runs then skip every probe cycle AND their compiles.
+        """
+        import os
+
+        path = os.path.join(cache_dir, f"ddh_{self.setup_cache_key()}.npz")
+        if not os.path.exists(path):
+            return False
+        with np.load(path) as z:
+            inv = z["groups"]
+            if "T_u" not in z.files:
+                return False
+            T_u = z["T_u"]
+            io_arrs = (
+                {name: z[name] for name in ("Pu", "Pv", "R", "Pul", "Pvl")}
+                if "Pu" in z.files
+                else None
+            )
+        self._T_groups = inv
+        self.T = jnp.asarray(T_u[inv])
+        self.use_transfer = True
+        built = _build_roll_route(
+            T_u[inv], np.asarray(self.params.B1), self.n_own, groups=inv
+        )
+        if built is not None:
+            self.route, self.route_offs, self.route_perms = built
+        if io_arrs is not None:
+            nu = T_u.shape[0]
+            self.io = IOMaps(
+                onehot=jnp.asarray(
+                    (inv[None, :] == np.arange(nu)[:, None]).astype(np.float32)
+                ),
+                **{k: jnp.asarray(v) for k, v in io_arrs.items()},
+            )
+        return True
+
+    def prepare(
+        self,
+        cache_dir: str | None = None,
+        want_io: bool = True,
+        chunk: int | None = None,
+    ) -> dict:
+        """Load-or-compute the transfer (and optionally io) maps.
+
+        ``cache_dir=None`` resolves ``CUDDH_CACHE_DIR`` (default
+        ``~/.cache/cuddhelmholtz_tpu``); pass ``cache_dir=""`` to disable
+        persistence.  Returns a stats dict (seconds per phase, cache state)
+        that drivers/benchmarks surface, so setup cost is always recorded.
+        """
+        import os
+        import time as _time
+
+        if cache_dir is None:
+            cache_dir = os.environ.get(
+                "CUDDH_CACHE_DIR",
+                os.path.join(os.path.expanduser("~"), ".cache", "cuddhelmholtz_tpu"),
+            )
+        stats: dict = {"cache_hit": False, "cache_dir": cache_dir or None}
+        t0 = _time.perf_counter()
+        if cache_dir and self.try_load_precomputed(cache_dir):
+            stats["cache_hit"] = True
+            stats["load_seconds"] = _time.perf_counter() - t0
+            if self.io is None and want_io:
+                # older cache entry without io maps: compute + refresh it
+                t1 = _time.perf_counter()
+                self.precompute_io_maps(chunk=chunk)
+                stats["io_seconds"] = _time.perf_counter() - t1
+                stats.update(getattr(self, "io_stats", {}))
+                self.save_precomputed(cache_dir)
+            return stats
+        t1 = _time.perf_counter()
+        T = self.precompute_transfer(chunk=chunk)
+        T.block_until_ready()
+        stats["transfer_seconds"] = _time.perf_counter() - t1
+        stats.update(self.transfer_stats)
+        if want_io:
+            t1 = _time.perf_counter()
+            io = self.precompute_io_maps(chunk=chunk)
+            if io is not None:
+                io.Pu.block_until_ready()
+            stats["io_seconds"] = _time.perf_counter() - t1
+            stats.update(getattr(self, "io_stats", {}))
+        if cache_dir:
+            self.save_precomputed(cache_dir)
+        return stats
+
     def precompute_transfer(self, chunk: int | None = None) -> jax.Array:
         """Precompute the dense per-subdomain trace-transfer (scattering) operator.
 
@@ -609,8 +770,11 @@ class DDH:
             vf = jnp.take_along_axis(v, jnp.broadcast_to(fs_u[None], (c, nu, pf)), axis=2)
             return jnp.concatenate([a2wf_u[None] * vf, a2wf_u[None] * uf], axis=2)
 
+        import time as _time
+
         zero = jnp.zeros((min(chunk, ncols), nu, pad), jnp.float32)
         outs = []
+        chunk_secs = []
         for k0 in range(0, ncols, chunk):
             c = min(chunk, ncols - k0)
             if k0 < pf:
@@ -625,7 +789,22 @@ class DDH:
             else:
                 Fb = zero[:c]
                 Gb = jnp.asarray(cols_F[k0 - pf : k0 - pf + c])
-            outs.append(run_chunk(Fb, Gb))
+            t0 = _time.perf_counter()
+            out = run_chunk(Fb, Gb)
+            out.block_until_ready()
+            chunk_secs.append(_time.perf_counter() - t0)
+            outs.append(out)
+        # per-chunk wall times pin down WHERE setup cost goes: the first
+        # chunk includes the jit compile (historically the unstable part on
+        # remote-compile backends), the rest are pure probe execution
+        self.transfer_stats = {
+            "transfer_nu": int(nu),
+            "transfer_ncols": int(ncols),
+            "transfer_chunk_cols": int(chunk),
+            "transfer_first_chunk_seconds": chunk_secs[0],
+            "transfer_exec_seconds": float(sum(chunk_secs[1:])),
+            "transfer_chunk_seconds": [round(s, 3) for s in chunk_secs],
+        }
         T_u = jnp.concatenate(outs, axis=0)  # (2pf, nu, 2pf): [col, dom, row]
         T_u = jnp.transpose(T_u, (1, 2, 0)).astype(self.dtype)  # (nu, row, col)
         self.T = T_u[jnp.asarray(inv)]  # full (ndom, 2pf, 2pf) for fallbacks
@@ -704,14 +883,27 @@ class DDH:
             )
             return u.reshape(c, nu, pad), v.reshape(c, nu, pad) / omega
 
+        import time as _time
+
         us, vs = [], []
+        chunk_secs = []
         for k0 in range(0, ncols, chunk):
             c = min(chunk, ncols - k0)
+            t0 = _time.perf_counter()
             u, v = run_chunk(
                 jnp.asarray(cols[k0 : k0 + c, 0]), jnp.asarray(cols[k0 : k0 + c, 1])
             )
+            u.block_until_ready()
+            chunk_secs.append(_time.perf_counter() - t0)
             us.append(u)
             vs.append(v)
+        self.io_stats = {
+            "io_nu": int(nu),
+            "io_ncols": int(ncols),
+            "io_chunk_cols": int(chunk),
+            "io_first_chunk_seconds": chunk_secs[0],
+            "io_exec_seconds": float(sum(chunk_secs[1:])),
+        }
         U = jnp.concatenate(us, axis=0)  # (ncols, nu, pad)
         V = jnp.concatenate(vs, axis=0)
 
@@ -801,9 +993,19 @@ class IOMaps(NamedTuple):
 
 
 def _group_apply(M: jax.Array, x: jax.Array, onehot: jax.Array) -> jax.Array:
-    """y[d] = M[group(d)] @ x[d] without materialising the per-domain stack:
-    one matmul per unique matrix (nu is small after dedup), then a one-hot
-    combine."""
+    """y[d] = M[group(d)] @ x[d].
+
+    Small nu (good dedup): one matmul per unique matrix then a one-hot
+    combine, avoiding a per-domain stack.  That costs nu*ndom*out*in, which
+    turns QUADRATIC in the domain count when dedup finds nothing
+    (heterogeneous media, nu ~ ndom); above nu > ndom/4 gather the
+    per-domain matrix instead (memory ~ M itself there) and run one batched
+    einsum."""
+    nu, ndom = onehot.shape
+    if 4 * nu > ndom:
+        group = jnp.argmax(onehot, axis=0)  # (ndom,) static one-hot layout
+        Mg = jnp.take(M, group, axis=0)
+        return jnp.einsum("doi,di->do", Mg, x, precision="highest")
     ys = jnp.einsum("uoi,di->udo", M, x, precision="highest")
     return jnp.einsum("udo,ud->do", ys, onehot, precision="highest")
 
@@ -883,28 +1085,44 @@ def _build_roll_route(
     td, tk = np.divmod(np.where(own_t, t, 0), pf)
     off_all = td - d
 
-    # group senders by (offset, sender slot, target slot)
+    # group senders by (offset, sender slot, target slot) -- vectorised via a
+    # composite-integer unique (the per-sender Python loop this replaces was
+    # O(n_own) dict churn: minutes at nx=512's 3M senders)
     flat = np.nonzero(own_t)[0]
-    grp: dict = defaultdict(list)
-    for idx in flat:
-        grp[(int(off_all[idx]), int(k[idx]), int(tk[idx]))].append(int(idx))
+    if flat.size == 0:
+        return None
+    offf = off_all[flat]
+    omin = int(offf.min())
+    key = ((offf - omin).astype(np.int64) * pf + k[flat]) * pf + tk[flat]
+    order = np.argsort(key, kind="stable")
+    uk, starts, counts = np.unique(
+        key[order], return_index=True, return_counts=True
+    )
+    tt_u = (uk % pf).astype(np.int64)
+    kk_u = ((uk // pf) % pf).astype(np.int64)
+    off_u = (uk // (pf * pf)).astype(np.int64) + omin
+
+    def members_of(gi: int) -> np.ndarray:
+        s = starts[gi]
+        return flat[order[s : s + counts[gi]]]
 
     # pack groups into routes: per route one offset + an injective slot map
     per_off: dict = defaultdict(list)  # off -> [(used_k, used_t, members)]
-    for (o, kk, tt), idxs in sorted(grp.items(), key=lambda kv: -len(kv[1])):
+    for gi in np.argsort(-counts, kind="stable"):
+        o, kk, tt = int(off_u[gi]), int(kk_u[gi]), int(tt_u[gi])
         for sk, st, members in per_off[o]:
             if kk not in sk and tt not in st:
                 sk.add(kk)
                 st.add(tt)
-                members[kk] = (tt, idxs)
+                members[kk] = (tt, gi)
                 break
         else:
-            per_off[o].append(({kk}, {tt}, {kk: (tt, idxs)}))
+            per_off[o].append(({kk}, {tt}, {kk: (tt, gi)}))
 
     route_list = [
         (o, members) for o, lst in per_off.items() for _, _, members in lst
     ]
-    route_list.sort(key=lambda om: -sum(len(v[1]) for v in om[1].values()))
+    route_list.sort(key=lambda om: -sum(counts[gi] for _, gi in om[1].values()))
     route_list = route_list[:max_routes]
 
     covered = np.zeros(ndom * pf, bool)
@@ -915,10 +1133,10 @@ def _build_roll_route(
         # column map: target slot c <- sender slot perm[c]; uncovered target
         # slots read the zero pad column (index 2pf)
         perm = np.full(2 * pf, 2 * pf, np.int64)
-        for kk, (tt, idxs) in members.items():
+        for kk, (tt, gi) in members.items():
             perm[tt] = kk
             perm[pf + tt] = pf + kk
-            ii = np.asarray(idxs, np.int64)
+            ii = members_of(gi)
             masks[i, ii // pf, kk] = 1.0
             masks[i, ii // pf, pf + kk] = 1.0
             covered[ii] = True

@@ -247,16 +247,29 @@ def structured_labels(nx: int, ny: int, elems_per_dom_x: int, elems_per_dom_y: i
     return lab.T.reshape(-1), ndx * (ny // elems_per_dom_y)
 
 
-def coordinate_bisection_labels(mesh, n_target: int) -> tuple[np.ndarray, int]:
+def coordinate_bisection_labels(
+    mesh, n_target: int, cut_sweep: int = 0
+) -> tuple[np.ndarray, int]:
     """Partition an arbitrary mesh into ~n_target subdomains by recursive
     coordinate bisection of element centroids (generalises DDH beyond
     uniform_rect, which the reference requires at ``DDH.cpp:333-344``).
+
+    ``cut_sweep=0`` (default) splits the largest part at the MEDIAN of its
+    wider coordinate extent.  ``cut_sweep=k > 1`` instead sweeps ``k``
+    balanced candidate cuts (quantiles 0.35..0.65) along BOTH axes and picks
+    the one crossing the fewest interior mesh edges -- cut edges are what
+    become interface trace unknowns (lambda), so this directly shrinks the
+    substructured system (see docs/PERF.md partition-quality study).
 
     Returns ``(labels, n_parts)``.  ``n_parts`` may be BELOW ``n_target``
     when the mesh runs out of splittable parts (every part has one element);
     a warning is emitted so callers don't treat the request as met.
     """
     cent = mesh.element_corner_coords().mean(axis=1)  # (nel, 2)
+    nel = mesh.n_elem
+    if cut_sweep > 1:
+        iee = mesh.edge_elements[mesh.interior_edges]  # (nie, 2) adjacency
+        side = np.zeros(nel, dtype=bool)
     parts = [np.arange(mesh.n_elem)]
     while len(parts) < n_target:
         # split the largest part along its wider coordinate extent
@@ -273,15 +286,39 @@ def coordinate_bisection_labels(mesh, n_target: int) -> tuple[np.ndarray, int]:
             break
         part = parts.pop(k)
         c = cent[part]
-        span = c.max(axis=0) - c.min(axis=0)
-        axis = int(np.argmax(span))
-        med = np.median(c[:, axis])
-        lo = part[c[:, axis] <= med]
-        hi = part[c[:, axis] > med]
-        if len(lo) == 0 or len(hi) == 0:
-            order = np.argsort(c[:, axis], kind="stable")
-            half = len(part) // 2
-            lo, hi = part[order[:half]], part[order[half:]]
+        lo = hi = None
+        if cut_sweep > 1 and len(part) > 2:
+            in_part = np.zeros(nel, dtype=bool)
+            in_part[part] = True
+            cand = iee[in_part[iee[:, 0]] & in_part[iee[:, 1]]]
+            best = None
+            for axis in (0, 1):
+                if np.ptp(c[:, axis]) <= 0:
+                    continue
+                for q in np.linspace(0.35, 0.65, cut_sweep):
+                    cut = np.quantile(c[:, axis], q)
+                    lo_mask = c[:, axis] <= cut
+                    n_lo = int(lo_mask.sum())
+                    if n_lo == 0 or n_lo == len(part):
+                        continue
+                    side[part] = lo_mask
+                    crossing = int((side[cand[:, 0]] != side[cand[:, 1]]).sum())
+                    imbalance = abs(2 * n_lo - len(part))
+                    key = (crossing, imbalance)
+                    if best is None or key < best[0]:
+                        best = (key, part[lo_mask], part[~lo_mask])
+            if best is not None:
+                _, lo, hi = best
+        if lo is None:
+            span = c.max(axis=0) - c.min(axis=0)
+            axis = int(np.argmax(span))
+            med = np.median(c[:, axis])
+            lo = part[c[:, axis] <= med]
+            hi = part[c[:, axis] > med]
+            if len(lo) == 0 or len(hi) == 0:
+                order = np.argsort(c[:, axis], kind="stable")
+                half = len(part) // 2
+                lo, hi = part[order[:half]], part[order[half:]]
         parts.extend([lo, hi])
     labels = np.zeros(mesh.n_elem, dtype=np.int64)
     for p, els in enumerate(parts):

@@ -355,3 +355,69 @@ def test_ddh_io_maps_match_wave_path():
     ddh2 = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8)
     assert ddh2.precompute_io_maps(max_bytes=1024) is None
     assert ddh2.io is None
+
+
+def test_ddh_io_maps_uniform_medium_dedup():
+    """The production accelerator default: a uniform medium, where the
+    identical-subdomain dedup is ACTIVE (nu < ndom) and io-map application
+    goes through the grouped combine -- the path the rough-medium test above
+    deliberately bypasses."""
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 2.5
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    ddh = DDH(omega, np.ones(fem.ndof), fem, nx=nx, ny=nx, block_size=8)
+
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal(2 * fem.ndof).astype(np.float32) * 1e-2)
+    lam = jnp.asarray(rng.standard_normal(ddh.size).astype(np.float32))
+    b_wave = np.asarray(ddh.rhs(f))
+    u_wave = np.asarray(ddh.postprocess(lam, f))
+
+    io = ddh.precompute_io_maps()
+    assert io is not None and io.Pu.shape[0] < ddh.n_domains  # dedup active
+    ddh.use_transfer = True
+    b_io = np.asarray(ddh.rhs(f))
+    u_io = np.asarray(ddh.postprocess(lam, f))
+    assert np.linalg.norm(b_io - b_wave) / np.linalg.norm(b_wave) < 2e-5
+    assert np.linalg.norm(u_io - u_wave) / np.linalg.norm(u_wave) < 2e-5
+
+
+def test_ddh_precompute_cache_roundtrip(tmp_path):
+    """``prepare`` persists the transfer/io maps keyed by config hash; a
+    fresh DDH with the same setup loads them (no probe cycles) and produces
+    bit-identical action/rhs/postprocess results."""
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 2.5
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    rng = np.random.default_rng(2)
+    a_nodal = 1.0 + 0.1 * rng.random(fem.ndof)
+    cache = str(tmp_path / "cache")
+
+    ddh1 = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8)
+    stats1 = ddh1.prepare(cache_dir=cache, want_io=True)
+    assert not stats1["cache_hit"] and "transfer_first_chunk_seconds" in stats1
+    assert ddh1.use_transfer and ddh1.io is not None
+
+    ddh2 = DDH(omega, a_nodal, fem, nx=nx, ny=nx, block_size=8)
+    assert ddh2.setup_cache_key() == ddh1.setup_cache_key()
+    stats2 = ddh2.prepare(cache_dir=cache, want_io=True)
+    assert stats2["cache_hit"]
+    assert ddh2.use_transfer and ddh2.io is not None
+    assert (ddh2.route is None) == (ddh1.route is None)
+
+    lam = jnp.asarray(rng.standard_normal(ddh1.size).astype(np.float32))
+    f = jnp.asarray(rng.standard_normal(2 * fem.ndof).astype(np.float32) * 1e-2)
+    np.testing.assert_array_equal(
+        np.asarray(ddh2.action(lam)), np.asarray(ddh1.action(lam))
+    )
+    np.testing.assert_array_equal(np.asarray(ddh2.rhs(f)), np.asarray(ddh1.rhs(f)))
+    np.testing.assert_array_equal(
+        np.asarray(ddh2.postprocess(lam, f)), np.asarray(ddh1.postprocess(lam, f))
+    )
+
+    # a different setup must MISS (different hash), not collide
+    ddh3 = DDH(omega * 1.01, a_nodal, fem, nx=nx, ny=nx, block_size=8)
+    assert ddh3.setup_cache_key() != ddh1.setup_cache_key()
+    assert not ddh3.try_load_precomputed(cache)

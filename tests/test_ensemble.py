@@ -75,3 +75,40 @@ def test_unstructured_bisection_partition():
     assert np.array_equal(got, np.arange(fem.ndof))
     for S0, S1, j0, j1 in es.cmap:
         assert es.gI[S0, es.pI[S0, j0]] == es.gI[S1, es.pI[S1, j1]]
+
+
+def test_cut_sweep_bisection_reduces_interface():
+    """cut_sweep bisection is a valid partition and never crosses MORE
+    interior edges than median bisection on the fixture (cut edges become
+    lambda unknowns, so fewer is strictly better for the DDH solve)."""
+    mesh = load_unstructured_square()
+    l0, n0 = coordinate_bisection_labels(mesh, 8)
+    l1, n1 = coordinate_bisection_labels(mesh, 8, cut_sweep=7)
+    assert n1 == 8 and np.array_equal(np.unique(l1), np.arange(8))
+    iee = mesh.edge_elements[mesh.interior_edges]
+    cut0 = int((l0[iee[:, 0]] != l0[iee[:, 1]]).sum())
+    cut1 = int((l1[iee[:, 0]] != l1[iee[:, 1]]).sum())
+    assert cut1 <= cut0
+    # the sweep partition must still produce a consistent EnsembleSpace
+    fem = H1Space(mesh, Basis(4))
+    es = EnsembleSpace(fem, n1, l1)
+    assert es.n_elems.sum() == mesh.n_elem
+    got = np.unique(es.gI[es.gI >= 0])
+    assert np.array_equal(got, np.arange(fem.ndof))
+
+
+def test_cut_sweep_matches_structured_on_grid():
+    """On a structured grid at matched counts, median bisection (and the
+    sweep) recover the structured partitioner's interface size."""
+    from cuddhelmholtz_tpu.mesh.mesh2d import Mesh2D
+    from cuddhelmholtz_tpu.spaces.ensemble import structured_labels
+
+    mesh = Mesh2D.uniform_rect(16, -1, 1, 16, -1, 1)
+    iee = mesh.edge_elements[mesh.interior_edges]
+    sl, ndom = structured_labels(16, 16, 4, 4)
+    cut_s = int((sl[iee[:, 0]] != sl[iee[:, 1]]).sum())
+    for k in (0, 7):
+        l, n = coordinate_bisection_labels(mesh, ndom, cut_sweep=k)
+        assert n == ndom
+        cut = int((l[iee[:, 0]] != l[iee[:, 1]]).sum())
+        assert cut == cut_s
