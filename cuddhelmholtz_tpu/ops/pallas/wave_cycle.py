@@ -13,13 +13,20 @@ one write of (u, v) per apply, while every time step runs
 This makes the cycle compute-bound (the XLA scan fallback is HBM-bound:
 state round-trips per step).
 
-Per-domain stiffness stacks (unstructured partitions, heterogeneous
-coefficients) run the same way: the grid blocks over subdomains and each
-block's (DB, pad, pad) stiffness stack is loaded into VMEM ONCE per apply
-(indexed by grid position) and reused across the whole 5 x nt loop, with a
-batched ``dot_general`` per step.  The reference's single kernel serves any
-partition (``DDH.cpp:111-321``); so does this one.  Only a pad too large for
-a single S matrix to fit VMEM falls back to the XLA path.
+Per-domain stiffness matrices (unstructured partitions, heterogeneous
+coefficients) run the same way through the GROUPED layout: rows ordered in
+contiguous runs sharing one matrix, the grid blocking one run per program
+with its (pad, pad) matrix selected by grid position and resident in VMEM
+across the whole 5 x nt loop -- the matmuls keep the shared-S shape.  The
+reference's single kernel serves any partition (``DDH.cpp:111-321``); the
+DDH precomputes order their probe batches this way.  Measured steady-state
+at the unstructured config (8 domains, nt=1717, 120 probe columns):
+grouped Pallas 1.5 s vs XLA scan 5.3 s vs per-row batched dot ~8 s -- so
+the grouped layout is the production path, the ungrouped per-row batched
+``dot_general`` variant stays for interpret-mode CI, and ungrouped per-row
+stacks use the XLA path on real TPUs.  (First compiles over the
+remote-compile tunnel vary 10-300 s for identical programs, which is why
+the DDH precompute results are disk-cached -- see ``DDH.prepare``.)
 """
 
 from __future__ import annotations
@@ -35,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 WH_MAXIT = 5
 
 
-def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, mi_ref, u_ref, v_ref):
+def _wave_kernel(nt, wh_maxit, precision, grouped, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, mi_ref, u_ref, v_ref):
     dt = scal_ref[0, 0]
     K0 = scal_ref[0, 1]
     half_dt = 0.5 * dt
@@ -45,6 +52,13 @@ def _wave_kernel(nt, wh_maxit, precision, scal_ref, tab_ref, S_ref, F_ref, G_ref
     Ha = Ha_ref[...]
     mi = mi_ref[...]
     S = S_ref[...]
+    if grouped:
+        # grouped layout: this block's DB rows all use ONE matrix (the
+        # (1, pad, pad) block selected by grid position) -- the matmuls then
+        # keep the proven shared-S shape (large row blocks on the MXU)
+        # instead of Mosaic's per-row batched dot (measured ~5x slower
+        # steady-state)
+        S = S[0]
     db = F.shape[0]
     batched = S.ndim == 3  # per-domain stiffness stack (DB, pad, pad)
 
@@ -140,6 +154,7 @@ def wave_cycle_pallas(
     block_domains: int = 512,
     precision: str = "high",
     interpret: bool = False,
+    s_group_size: int | None = None,
 ):
     """Run the WaveHoltz cycle with subdomain state resident in VMEM.
 
@@ -158,11 +173,36 @@ def wave_cycle_pallas(
     """
     ndom, pad = F.shape
     per_domain = params.S.ndim == 3
-    # VMEM budget for the S stack (~8 MB of the ~16 MB/core): DB matrices of
-    # pad^2 fp32 (+ bf16 split copies) must fit alongside the state.  Mosaic
-    # requires row blocks with DB % 8 == 0 (or DB == the full batch), so a
-    # budget below 8 domains per block falls back to the XLA scan.
-    if per_domain:
+    grouped = False
+    if per_domain and s_group_size is not None:
+        # grouped layout: rows come pre-ordered in contiguous runs of
+        # ``s_group_size``, run g using params.S[g] -- each grid block then
+        # works against ONE matrix (selected by grid position), keeping the
+        # shared-S matmul shape.  This is the production per-domain path
+        # (the precomputes order their probe batches this way).
+        ok = (
+            s_group_size > 0
+            and s_group_size % 8 == 0
+            and params.S.shape[0] * s_group_size == ndom
+            and pad * pad * 12 < (1 << 24)  # one matrix + bf16 copies in VMEM
+        )
+        if not ok:
+            from ...solvers.ddh import _wave_cycle_xla
+
+            return _wave_cycle_xla(params, F, G, wh_maxit, precision)
+        grouped = True
+        DB = s_group_size
+        n_pad = 0
+    elif per_domain:
+        # ungrouped per-row stacks: a batched in-kernel dot_general exists
+        # (and is what interpret-mode CI pins), but Mosaic lowers it as
+        # per-row matvecs (slower than the XLA scan steady-state, plus a
+        # fresh Mosaic remote compile per shape) -- so on real TPUs the XLA
+        # path is the right call unless the caller groups the rows.
+        if not interpret:
+            from ...solvers.ddh import _wave_cycle_xla
+
+            return _wave_cycle_xla(params, F, G, wh_maxit, precision)
         s_budget = (1 << 23) // (pad * pad * 8)
         if params.S.shape[0] != ndom:
             from ...solvers.ddh import _wave_cycle_xla
@@ -179,8 +219,9 @@ def wave_cycle_pallas(
     prec = jax.lax.Precision(precision) if isinstance(precision, str) else precision
 
     nt = params.tables.shape[0]
-    DB = max(1 if per_domain else 8, min(block_domains, ndom))
-    n_pad = (-ndom) % DB
+    if not grouped:
+        DB = max(1 if per_domain else 8, min(block_domains, ndom))
+        n_pad = (-ndom) % DB
     S = params.S
     if n_pad:
         z = jnp.zeros((n_pad, pad), dtype=F.dtype)
@@ -208,15 +249,20 @@ def wave_cycle_pallas(
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(zero32 for _ in shape), memory_space=pltpu.VMEM
     )
-    s_spec = (
-        pl.BlockSpec((DB, pad, pad), lambda i: (i, zero32, zero32), memory_space=pltpu.VMEM)
-        if per_domain
-        else full(S.shape)
-    )
+    if grouped:
+        s_spec = pl.BlockSpec(
+            (1, pad, pad), lambda i: (i, zero32, zero32), memory_space=pltpu.VMEM
+        )
+    elif per_domain:
+        s_spec = pl.BlockSpec(
+            (DB, pad, pad), lambda i: (i, zero32, zero32), memory_space=pltpu.VMEM
+        )
+    else:
+        s_spec = full(S.shape)
 
     flops = 2 * wh_maxit * nt * 2 * ndom_p * pad * pad
     u, v = pl.pallas_call(
-        functools.partial(_wave_kernel, nt, wh_maxit, prec),
+        functools.partial(_wave_kernel, nt, wh_maxit, prec, grouped),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -733,67 +733,91 @@ class DDH:
         mi_u = jnp.asarray(mi_np[uidx])
         S_u = p.S if p.S.ndim == 2 else p.S[jnp.asarray(uidx)]
 
+        use_pallas = self._use_pallas()
+        # grouped Pallas layout for per-domain S: probe rows ordered (nu, c)
+        # so each kernel grid block works against ONE matrix (the shared-S
+        # matmul shape; measured 3.5x faster than the XLA scan steady-state
+        # at the unstructured config)
+        use_group = use_pallas and S_u.ndim == 3 and pad * pad * 12 < (1 << 24)
         if chunk is None:
-            if S_u.ndim == 3:
-                # per-domain S is tiled across columns: every time step then
+            if S_u.ndim == 3 and not use_group:
+                # XLA fallback tiles S across columns: every time step then
                 # reads c*nu dense (pad, pad) matrices, so bound that stack
-                # (~32 MB fp32) or the cycle turns HBM-bound instead of
-                # latency-bound
+                # (~32 MB fp32) or the cycle turns HBM-bound
                 chunk = int(
                     max(1, min(ncols, (1 << 23) // max(1, nu * pad * pad)))
                 )
             else:
-                # shared S: bound the fp32 state rows to ~128 MB
+                # bound the fp32 state rows to ~128 MB
                 chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
-        use_pallas = self._use_pallas()
+        if use_group:
+            chunk = max(8, (chunk // 8) * 8)
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
         @jax.jit
         def run_chunk(Fb, Gb):
             c = Fb.shape[0]
-            p2 = p._replace(
-                Ha=jnp.tile(Ha_u, (c, 1)),
-                inv_mi=jnp.tile(mi_u, (c, 1)),
-                S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
-            )
-            u, v = _wave_cycle(
-                p2,
-                Fb.reshape(c * nu, pad),
-                Gb.reshape(c * nu, pad),
-                wh_maxit,
-                use_pallas,
-                precision,
-            )
-            u = u.reshape(c, nu, pad)
-            v = v.reshape(c, nu, pad) / omega
-            uf = jnp.take_along_axis(u, jnp.broadcast_to(fs_u[None], (c, nu, pf)), axis=2)
-            vf = jnp.take_along_axis(v, jnp.broadcast_to(fs_u[None], (c, nu, pf)), axis=2)
+            if use_group:
+                from ..ops.pallas.wave_cycle import wave_cycle_pallas
+
+                p2 = p._replace(
+                    Ha=jnp.repeat(Ha_u, c, axis=0),
+                    inv_mi=jnp.repeat(mi_u, c, axis=0),
+                    S=S_u,
+                )
+                u, v = wave_cycle_pallas(
+                    p2,
+                    jnp.transpose(Fb, (1, 0, 2)).reshape(nu * c, pad),
+                    jnp.transpose(Gb, (1, 0, 2)).reshape(nu * c, pad),
+                    wh_maxit=wh_maxit,
+                    precision=precision,
+                    s_group_size=c,
+                )
+                u = jnp.transpose(u.reshape(nu, c, pad), (1, 0, 2))
+                v = jnp.transpose(v.reshape(nu, c, pad), (1, 0, 2)) / omega
+            else:
+                p2 = p._replace(
+                    Ha=jnp.tile(Ha_u, (c, 1)),
+                    inv_mi=jnp.tile(mi_u, (c, 1)),
+                    S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
+                )
+                u, v = _wave_cycle(
+                    p2,
+                    Fb.reshape(c * nu, pad),
+                    Gb.reshape(c * nu, pad),
+                    wh_maxit,
+                    use_pallas,
+                    precision,
+                )
+                u = u.reshape(c, nu, pad)
+                v = v.reshape(c, nu, pad) / omega
+            uf = jnp.take_along_axis(u, jnp.broadcast_to(fs_u[None], u.shape[:2] + (pf,)), axis=2)
+            vf = jnp.take_along_axis(v, jnp.broadcast_to(fs_u[None], u.shape[:2] + (pf,)), axis=2)
             return jnp.concatenate([a2wf_u[None] * vf, a2wf_u[None] * uf], axis=2)
 
         import time as _time
 
-        zero = jnp.zeros((min(chunk, ncols), nu, pad), jnp.float32)
         outs = []
         chunk_secs = []
         for k0 in range(0, ncols, chunk):
             c = min(chunk, ncols - k0)
-            if k0 < pf:
-                # columns [k0, k0+c) may straddle the lam/mu boundary
-                f_rows = np.zeros((c, nu, pad), np.float32)
-                g_rows = np.zeros((c, nu, pad), np.float32)
-                n_lam = min(c, pf - k0)
+            # grouped kernels need row runs in multiples of 8: pad the chunk
+            # with zero probe columns (zero outputs, sliced off below)
+            c8 = ((c + 7) // 8) * 8 if use_group else c
+            f_rows = np.zeros((c8, nu, pad), np.float32)
+            g_rows = np.zeros((c8, nu, pad), np.float32)
+            n_lam = max(0, min(c, pf - k0))
+            if n_lam > 0:
                 f_rows[:n_lam] = cols_F[k0 : k0 + n_lam]
-                if n_lam < c:
-                    g_rows[n_lam:] = cols_F[0 : c - n_lam]
-                Fb, Gb = jnp.asarray(f_rows), jnp.asarray(g_rows)
-            else:
-                Fb = zero[:c]
-                Gb = jnp.asarray(cols_F[k0 - pf : k0 - pf + c])
+            if n_lam < c:
+                lo = max(0, k0 - pf)
+                g_rows[n_lam:c] = cols_F[lo : lo + (c - n_lam)]
+            Fb, Gb = jnp.asarray(f_rows), jnp.asarray(g_rows)
             t0 = _time.perf_counter()
             out = run_chunk(Fb, Gb)
             out.block_until_ready()
             chunk_secs.append(_time.perf_counter() - t0)
-            outs.append(out)
+            outs.append(out[:c])
         # per-chunk wall times pin down WHERE setup cost goes: the first
         # chunk includes the jit compile (historically the unstable part on
         # remote-compile backends), the rest are pure probe execution
@@ -857,31 +881,55 @@ class DDH:
         cols[base + kk, 0, dd, sl[dd, kk]] = Hf_u[dd, kk]
         cols[base + pf + kk, 1, dd, sl[dd, kk]] = Hf_u[dd, kk]
 
+        use_pallas = self._use_pallas()
+        use_group = use_pallas and S_u.ndim == 3 and pad * pad * 12 < (1 << 24)
         if chunk is None:
-            if S_u.ndim == 3:
+            if S_u.ndim == 3 and not use_group:
                 chunk = int(max(1, min(ncols, (1 << 23) // max(1, nu * pad * pad))))
             else:
                 chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
-        use_pallas = self._use_pallas()
+        if use_group:
+            chunk = max(8, (chunk // 8) * 8)
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
         @jax.jit
         def run_chunk(Fb, Gb):
             c = Fb.shape[0]
-            p2 = p._replace(
-                Ha=jnp.tile(Ha_u, (c, 1)),
-                inv_mi=jnp.tile(mi_u, (c, 1)),
-                S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
-            )
-            u, v = _wave_cycle(
-                p2,
-                Fb.reshape(c * nu, pad),
-                Gb.reshape(c * nu, pad),
-                wh_maxit,
-                use_pallas,
-                precision,
-            )
-            return u.reshape(c, nu, pad), v.reshape(c, nu, pad) / omega
+            if use_group:
+                from ..ops.pallas.wave_cycle import wave_cycle_pallas
+
+                p2 = p._replace(
+                    Ha=jnp.repeat(Ha_u, c, axis=0),
+                    inv_mi=jnp.repeat(mi_u, c, axis=0),
+                    S=S_u,
+                )
+                u, v = wave_cycle_pallas(
+                    p2,
+                    jnp.transpose(Fb, (1, 0, 2)).reshape(nu * c, pad),
+                    jnp.transpose(Gb, (1, 0, 2)).reshape(nu * c, pad),
+                    wh_maxit=wh_maxit,
+                    precision=precision,
+                    s_group_size=c,
+                )
+                u = jnp.transpose(u.reshape(nu, c, pad), (1, 0, 2))
+                v = jnp.transpose(v.reshape(nu, c, pad), (1, 0, 2))
+            else:
+                p2 = p._replace(
+                    Ha=jnp.tile(Ha_u, (c, 1)),
+                    inv_mi=jnp.tile(mi_u, (c, 1)),
+                    S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
+                )
+                u, v = _wave_cycle(
+                    p2,
+                    Fb.reshape(c * nu, pad),
+                    Gb.reshape(c * nu, pad),
+                    wh_maxit,
+                    use_pallas,
+                    precision,
+                )
+                u = u.reshape(c, nu, pad)
+                v = v.reshape(c, nu, pad)
+            return u, v / omega
 
         import time as _time
 
@@ -889,14 +937,17 @@ class DDH:
         chunk_secs = []
         for k0 in range(0, ncols, chunk):
             c = min(chunk, ncols - k0)
+            c8 = ((c + 7) // 8) * 8 if use_group else c
+            fb = np.zeros((c8, nu, pad), np.float32)
+            gb = np.zeros((c8, nu, pad), np.float32)
+            fb[:c] = cols[k0 : k0 + c, 0]
+            gb[:c] = cols[k0 : k0 + c, 1]
             t0 = _time.perf_counter()
-            u, v = run_chunk(
-                jnp.asarray(cols[k0 : k0 + c, 0]), jnp.asarray(cols[k0 : k0 + c, 1])
-            )
+            u, v = run_chunk(jnp.asarray(fb), jnp.asarray(gb))
             u.block_until_ready()
             chunk_secs.append(_time.perf_counter() - t0)
-            us.append(u)
-            vs.append(v)
+            us.append(u[:c])
+            vs.append(v[:c])
         self.io_stats = {
             "io_nu": int(nu),
             "io_ncols": int(ncols),

@@ -116,6 +116,32 @@ def test_interpret_per_domain_blocking_and_padding(per_domain_params):
     np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_a), rtol=0, atol=1e-5)
 
 
+def test_interpret_grouped_matches_xla(per_domain_params):
+    """The grouped per-domain layout (contiguous row runs sharing one
+    matrix, S selected by grid position -- the production precompute path)
+    matches the XLA cycle."""
+    params, F, G = per_domain_params
+    gs = 8
+    grouped = params._replace(
+        Ha=jnp.repeat(params.Ha, gs, axis=0),
+        inv_mi=jnp.repeat(params.inv_mi, gs, axis=0),
+    )
+    Fg = jnp.repeat(F, gs, axis=0)
+    Gg = jnp.repeat(G, gs, axis=0)
+    u_g, v_g = wave_cycle_pallas(
+        grouped, Fg, Gg, wh_maxit=3, precision="high", interpret=True,
+        s_group_size=gs,
+    )
+    u_x, v_x = _wave_cycle_xla(params, F, G, 3, precision="highest")
+    # every row in a group repeats the same computation
+    np.testing.assert_allclose(
+        np.asarray(u_g[::gs]), np.asarray(u_g[gs - 1 :: gs]), rtol=0, atol=0
+    )
+    scale = float(jnp.abs(u_x).max())
+    err = float(jnp.abs(u_g[::gs] - u_x).max()) / scale
+    assert err < 2e-4, err
+
+
 def test_interpret_blocking_and_padding(small_params):
     """Domain-batch blocking (several grid steps) and padding rows must not
     change the result."""
