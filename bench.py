@@ -84,14 +84,10 @@ def main():
         b = helmholtz_rhs(fem, lambda xy: point_sources(xy, omega), dtype=jnp.float32)
     b = jax.device_put(np.asarray(b), jax.devices()[0])
 
-    # one jitted program for the whole solve: an eagerly-traced while_loop
-    # costs ~15% more per matvec (layout copies at the loop boundary)
-    @jax.jit
-    def solve_jit(b):
-        Y = ddh.rhs(b)
-        out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
-        U = ddh.postprocess(out.x, b)
-        return out, U
+    # one jitted program for the whole solve (an eagerly-traced while_loop
+    # costs ~15% more per matvec), with the DDH state passed as arguments
+    # (closure constants break remote-compile payload limits at scale)
+    solve_jit = ddh.solver(m, maxit, tol)
 
     def solve():
         out, U = solve_jit(b)

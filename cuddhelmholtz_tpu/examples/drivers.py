@@ -339,11 +339,9 @@ def run_ddh(
         pstats = ddh.prepare(want_io=_want_io_maps())
     setup_s = time.perf_counter() - t_setup
 
-    @jax.jit
-    def solve(b):
-        Y = ddh.rhs(b)
-        out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
-        return out, ddh.postprocess(out.x, b)
+    # state passed as jit arguments: closure constants break remote-compile
+    # payload limits at large configs (nx=512)
+    solve = ddh.solver(m, maxit, tol)
 
     t0 = time.perf_counter()
     out, U = solve(b)
@@ -452,12 +450,7 @@ def run_ddh_multi_source(
         pstats = ddh.prepare(want_io=_want_io_maps())
     setup_s = time.perf_counter() - t_setup
 
-    def solve_one(b):
-        Y = ddh.rhs(b)
-        out = gmres(ddh.action, Y, m=m, maxit=maxit, tol=tol)
-        return out, ddh.postprocess(out.x, b)
-
-    solve = jax.jit(jax.vmap(solve_one))
+    solve = ddh.solver(m, maxit, tol, vmapped=True)
 
     t0 = time.perf_counter()
     outs, Us = solve(bs)

@@ -41,6 +41,8 @@ def sweep(nx_list=(32, 64, 128), deg=3, **kwargs):
             "final_rel_res": float(res.res_norm[-1] / res.res_norm[0]),
             "seconds": res.seconds,
             "nnz_per_s": applies * nnz / res.seconds,
+            "setup_seconds": res.extra.get("setup_seconds"),
+            "precompute": res.extra.get("precompute", {}),
         }
         records.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)

@@ -391,7 +391,7 @@ class ShardedDDH:
                 else:
                     A_full = np.repeat(np.asarray(route.A0)[None], ndom, 0)
                     if route.A_spec is not None:
-                        spec = np.asarray(route.S_sel).argmax(1)
+                        spec = np.asarray(route.spec_idx)
                         A_full[spec] += np.asarray(route.A_spec)
                 masks = np.asarray(route.masks)
                 masks = np.pad(masks, ((0, 0), (0, ndom_pad - ndom), (0, 0)))

@@ -407,10 +407,23 @@ class DDH:
             2.0 * omega * np.take_along_axis(a_sub, fs_safe, axis=1),
             0.0,
         )
-        # host copies kept for the transfer-operator precompute
+        # host copies kept for the transfer-operator precompute (reading
+        # them back from the device would sync the tunnel's upload queue:
+        # measured 56 s for a 6 MB pull at nx=512)
         self._fslot_np = fslot
         self._Hf_np = Hf
-        self.T: jax.Array | None = None
+        self._B1_np = B[:, :, 1].copy() if n_shared > 0 else np.full(
+            (n_domains, mx_fdof), -1, np.int32
+        )
+        self._Ha_np = np.ascontiguousarray(H_sub * a_sub, dtype=np.float64)
+        self._mi_np = np.ascontiguousarray(inv_mi, dtype=np.float64)
+        self._a2wf_np = np.ascontiguousarray(a2wf, dtype=np.float64)
+        # transfer operator storage: deduped host form (_T_u + groups);
+        # the full per-domain device stack is materialized LAZILY through
+        # the ``T`` property -- the rolled exchange never reads it, and at
+        # nx=512 the (16384, 192, 192) expand + upload costs ~70 s
+        self._T_u: np.ndarray | None = None
+        self._T_dev: jax.Array | None = None
         self.use_transfer = False
         self.route: RollRoute | None = None
         self.route_offs: tuple = ()
@@ -438,6 +451,13 @@ class DDH:
         check_index_table("DDH.B0", B[:, :, 0], self.n_lambda)
         check_index_table("DDH.B1", B[:, :, 1], self.n_lambda)
 
+        # content hash for the precompute disk cache, computed HERE from the
+        # host staging arrays (hashing the device params later would pull
+        # ~GBs back through the tunnel: measured 108 s at nx=512)
+        self._setup_key = self._compute_setup_key(
+            S_dev, H_sub * a_sub, inv_mi, Hf, fslot, a2wf, tables, B
+        )
+
         self.params = DDHParams(
             S=jnp.asarray(S_dev, dtype=dtype),
             gI=jnp.asarray(gI),
@@ -464,6 +484,19 @@ class DDH:
         """DOFs of the substructured problem: (lambda, mu) pairs."""
         return 2 * self.n_lambda
 
+    @property
+    def T(self) -> jax.Array | None:
+        """Full per-domain trace-transfer stack (ndom, 2pf, 2pf), expanded
+        from the deduped form on first access (the rolled exchange and the
+        io-map paths never need it)."""
+        if self._T_dev is None and self._T_u is not None:
+            self._T_dev = jnp.asarray(self._T_u[self._T_groups])
+        return self._T_dev
+
+    @T.setter
+    def T(self, value) -> None:
+        self._T_dev = value
+
     def _debug_finite(self, name: str, x: jax.Array) -> None:
         """CUDDH_DEBUG finiteness check at the public API boundary (skipped
         for traced values inside jit, where no host check is possible)."""
@@ -484,7 +517,7 @@ class DDH:
                 self.route_offs,
                 self.route_perms,
             )
-        if self.use_transfer and self.T is not None:
+        if self.use_transfer and (self._T_dev is not None or self._T_u is not None):
             return ddh_action_transfer(self.params, self.T, lam, self.n_own)
         return ddh_action(
             self.params,
@@ -503,10 +536,14 @@ class DDH:
         fslot, Hf = self._fslot_np, self._Hf_np
         pad = self.pad
         ndom = fslot.shape[0]
+        # the dedup key lives in the COMPUTE dtype: fp64 host geometry
+        # differs by ulps across identical domains (different coordinate
+        # arithmetic), which fp32 rounding collapses
+        fdt = np.dtype(jnp.dtype(self.dtype))
         parts = [
-            np.asarray(p.Ha),
-            np.asarray(p.inv_mi),
-            np.asarray(p.a2wf),
+            self._Ha_np.astype(fdt),
+            self._mi_np.astype(fdt),
+            self._a2wf_np.astype(fdt),
             Hf,
             fslot.astype(np.float64),
         ]
@@ -530,29 +567,24 @@ class DDH:
         parameters, so they can be persisted to disk and reloaded for any
         DDH with the same hash -- the analog of the reference's memoized
         metric collections (Mesh2D.cpp:343-365), but across processes.
-        Large per-domain S stacks are hashed by two deterministic probe
-        responses instead of their full bytes.
+        Computed once at construction from the host staging arrays.
         """
+        return self._setup_key
+
+    def _compute_setup_key(self, S, Ha, inv_mi, Hf, fslot, a2wf, tables, B) -> str:
         import hashlib
 
         h = hashlib.sha256()
-        p = self.params
-        S_np = np.asarray(p.S)
-        if S_np.ndim == 3 and S_np.size > (1 << 24):
+        fdt = np.dtype(jnp.dtype(self.dtype))
+        S = np.asarray(S)
+        if S.ndim == 3 and S.size > (1 << 24):
+            # large per-domain stacks: hash two deterministic probe responses
             rng = np.random.default_rng(0)
-            S_np = S_np @ rng.standard_normal((self.pad, 2)).astype(S_np.dtype)
-        for arr in (
-            S_np,
-            np.asarray(p.Ha),
-            np.asarray(p.inv_mi),
-            self._Hf_np,
-            self._fslot_np,
-            np.asarray(p.a2wf),
-            np.asarray(p.tables),
-            np.asarray(p.B0),
-            np.asarray(p.B1),
-        ):
-            h.update(np.ascontiguousarray(arr).tobytes())
+            S = S @ rng.standard_normal((self.pad, 2))
+        for arr in (S, Ha, inv_mi, Hf, a2wf, tables):
+            h.update(np.ascontiguousarray(arr, dtype=fdt).tobytes())
+        for arr in (fslot, B[:, :, 0], B[:, :, 1]):
+            h.update(np.ascontiguousarray(arr, dtype=np.int32).tobytes())
         h.update(
             repr(
                 (
@@ -577,11 +609,8 @@ class DDH:
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(cache_dir, f"ddh_{self.setup_cache_key()}.npz")
         data = {"groups": self._T_groups}
-        if self.T is not None:
-            # first domain of each group is its representative: np.unique
-            # returns group ids sorted (= 0..nu-1) with their first indices
-            rep = np.unique(self._T_groups, return_index=True)[1]
-            data["T_u"] = np.asarray(self.T)[rep]
+        if self._T_u is not None:
+            data["T_u"] = self._T_u
         if self.io is not None:
             for name in ("Pu", "Pv", "R", "Pul", "Pvl"):
                 data[name] = np.asarray(getattr(self.io, name))
@@ -612,11 +641,10 @@ class DDH:
                 else None
             )
         self._T_groups = inv
-        self.T = jnp.asarray(T_u[inv])
+        self._T_u = T_u
+        self._T_dev = None
         self.use_transfer = True
-        built = _build_roll_route(
-            T_u[inv], np.asarray(self.params.B1), self.n_own, groups=inv
-        )
+        built = _build_roll_route(T_u, inv, self._B1_np, self.n_own)
         if built is not None:
             self.route, self.route_offs, self.route_perms = built
         if io_arrs is not None:
@@ -713,9 +741,10 @@ class DDH:
         # UNIQUE domains only.
         uidx, inv, nu = self._domain_groups()
         self._T_groups = inv
-        Ha_np = np.asarray(p.Ha)
-        mi_np = np.asarray(p.inv_mi)
-        a2wf_np = np.asarray(p.a2wf)
+        fdt = np.dtype(jnp.dtype(self.dtype))
+        Ha_np = self._Ha_np.astype(fdt)
+        mi_np = self._mi_np.astype(fdt)
+        a2wf_np = self._a2wf_np.astype(fdt)
 
         # one-hot trace forcing columns: column k (< pf) puts Hf[d, k] at
         # fslot[d, k] in F (the lam side); column pf + k does the same in G
@@ -831,15 +860,14 @@ class DDH:
         }
         T_u = jnp.concatenate(outs, axis=0)  # (2pf, nu, 2pf): [col, dom, row]
         T_u = jnp.transpose(T_u, (1, 2, 0)).astype(self.dtype)  # (nu, row, col)
-        self.T = T_u[jnp.asarray(inv)]  # full (ndom, 2pf, 2pf) for fallbacks
+        self._T_u = np.asarray(T_u)  # deduped host form; full stack is lazy
+        self._T_dev = None
         self.use_transfer = True
         # roll-based exchange when the dual graph is (near-)regular
-        built = _build_roll_route(
-            self.T, np.asarray(self.params.B1), self.n_own, groups=inv
-        )
+        built = _build_roll_route(self._T_u, inv, self._B1_np, self.n_own)
         if built is not None:
             self.route, self.route_offs, self.route_perms = built
-        return self.T
+        return T_u
 
     def precompute_io_maps(self, chunk: int | None = None, max_bytes: int = 1 << 29):
         """Precompute the rhs/postprocess linear maps (see ``IOMaps``).
@@ -863,10 +891,11 @@ class DDH:
         ncols = 2 * pad + 2 * pf
 
         fslot_u, Hf_u = fslot[uidx], Hf[uidx]
-        a2wf_u = jnp.asarray(np.asarray(p.a2wf)[uidx])
+        fdt = np.dtype(jnp.dtype(self.dtype))
+        a2wf_u = jnp.asarray(self._a2wf_np[uidx].astype(fdt))
         fs_u = jnp.asarray(np.maximum(fslot_u, 0))
-        Ha_u = jnp.asarray(np.asarray(p.Ha)[uidx])
-        mi_u = jnp.asarray(np.asarray(p.inv_mi)[uidx])
+        Ha_u = jnp.asarray(self._Ha_np[uidx].astype(fdt))
+        mi_u = jnp.asarray(self._mi_np[uidx].astype(fdt))
         S_u = p.S if p.S.ndim == 2 else p.S[jnp.asarray(uidx)]
 
         # probe columns: j < pad -> F one-hot e_j; j < 2pad -> G one-hot;
@@ -1008,6 +1037,46 @@ class DDH:
             precision=self.precision,
         )
 
+    def solver(self, m: int, maxit: int, tol: float, gmres_fn=None, vmapped: bool = False):
+        """Whole-solve jit (rhs -> lambda-GMRES -> postprocess) with the DDH
+        device state passed as jit ARGUMENTS.
+
+        Closing a jit over the DDH device arrays embeds them as HLO
+        constants; at large configs the serialized constants break
+        remote-compile payload limits (observed at nx=512: HTTP 413 from
+        the compile endpoint).  Passing the state pytree as an argument
+        keeps the program small and lets repeat solves reuse one
+        executable.  ``vmapped=True`` returns a batched solver over a
+        leading right-hand-side axis (state broadcast).
+        """
+        from .gmres import gmres as _gmres
+
+        gmres_fn = gmres_fn or _gmres
+        # capture only what the traced action path reads: forcing the full T
+        # through the property would materialize the (ndom, 2pf, 2pf) stack
+        # the rolled/io paths never use
+        T_cap = None
+        if self.use_transfer and self.route is None and self._T_u is not None:
+            T_cap = self.T
+        state = (self.params, T_cap, self.route, self.io)
+
+        def run(b, st):
+            old = (self.params, self.T, self.route, self.io)
+            self.params, self.T, self.route, self.io = st
+            try:
+                Y = self.rhs(b)
+                out = gmres_fn(self.action, Y, m=m, maxit=maxit, tol=tol)
+                U = self.postprocess(out.x, b)
+            finally:
+                self.params, self.T, self.route, self.io = old
+            return out, U
+
+        if vmapped:
+            runv = jax.jit(jax.vmap(run, in_axes=(0, None)))
+            return lambda bs: runv(bs, state)
+        runj = jax.jit(run)
+        return lambda b: runj(b, state)
+
     def _use_pallas(self) -> bool:
         import jax
 
@@ -1097,24 +1166,24 @@ class RollRoute(NamedTuple):
     irr_src: jax.Array  # (n_irr,) int32 flat (ndom*pf) sender index per half
     irr_tgt: jax.Array  # (n_irr,) int32 into the n_lambda-sized side vector
     # majority split (set when >= half the domains share one matrix): the
-    # batched matmul becomes one SHARED (2pf, 2pf) matmul + one-hot-selected
+    # batched matmul becomes one SHARED (2pf, 2pf) matmul + gathered
     # corrections for the special domains -- HBM reads drop from
     # ndom*(2pf)^2 to ~nspec*(2pf)^2
     A0: jax.Array | None  # (2pf, 2pf) shared majority matrix
     A_spec: jax.Array | None  # (nspec, 2pf, 2pf) corrections A[spec] - A0
-    S_sel: jax.Array | None  # (nspec, ndom) 0/1 row selector
+    spec_idx: jax.Array | None  # (nspec,) sorted int32 special-domain rows
     # the flat domain offsets and target<-source column maps (one per mask
     # row) are passed separately as STATIC tuples so the rolls compile to
     # fixed shifts and the column gathers to layout copies
 
 
 def _build_roll_route(
-    T: np.ndarray | jax.Array,
+    T_u: np.ndarray,
+    groups: np.ndarray,
     B1_np: np.ndarray,
     n_own: int,
     max_routes: int = 16,
     min_uniform_frac: float = 0.5,
-    groups: np.ndarray | None = None,
 ) -> tuple[RollRoute, tuple, tuple] | None:
     """Discover (offset, slot-map) routes in B1 and build a RollRoute.
 
@@ -1198,44 +1267,43 @@ def _build_roll_route(
     if n_uniform < min_uniform_frac * int(send.sum()):
         return None
 
-    # A = identity-folded (-I -/+ T), rows at the sender slots:
-    # row i<pf gives -x_l - w_l, row i>=pf gives -x_m + w_m
-    T = np.asarray(T)
-    A = np.concatenate([-T[:, :pf, :], T[:, pf:, :]], axis=1)
-    A[:, np.arange(2 * pf), np.arange(2 * pf)] -= 1.0
+    # A = identity-folded (-I -/+ T), rows at the sender slots (row i<pf
+    # gives -x_l - w_l, row i>=pf gives -x_m + w_m) -- built at the DEDUPED
+    # nu level; the full per-domain stack is only expanded in the
+    # no-majority fallback
+    T_u = np.asarray(T_u)
+    A_u = np.concatenate([-T_u[:, :pf, :], T_u[:, pf:, :]], axis=1)
+    A_u[:, np.arange(2 * pf), np.arange(2 * pf)] -= 1.0
 
     irr = np.nonzero(send & ~covered)[0]
     irr = irr[np.argsort(t[irr], kind="stable")]  # sorted scatter targets
     irr_src = irr.astype(np.int32)
     irr_tgt = t[irr].astype(np.int32)
 
-    # majority split: one shared matrix + one-hot-selected corrections
-    # (arrays keep T's dtype so an fp64 DDH stays fp64 through the exchange)
-    dt = np.asarray(T).dtype
-    A0 = A_spec = S_sel = None
-    if groups is not None:
-        counts = np.bincount(groups)
-        maj = int(np.argmax(counts))
-        if counts[maj] >= 0.5 * ndom:
-            maj_dom = int(np.nonzero(groups == maj)[0][0])
-            A0 = jnp.asarray(A[maj_dom], dt)
-            spec = np.nonzero(groups != maj)[0]
-            if spec.size:
-                A_spec = jnp.asarray(A[spec] - A[maj_dom][None], dt)
-                sel = np.zeros((spec.size, ndom), dt)
-                sel[np.arange(spec.size), spec] = 1.0
-                S_sel = jnp.asarray(sel)
-            else:
-                A_spec = S_sel = None
+    # majority split: one shared matrix + gathered corrections for the
+    # special rows (arrays keep T's dtype so an fp64 DDH stays fp64)
+    dt = T_u.dtype
+    A0 = A_spec = spec_idx = None
+    A_full = None
+    counts = np.bincount(groups)
+    maj = int(np.argmax(counts))
+    if counts[maj] >= 0.5 * ndom:
+        A0 = jnp.asarray(A_u[maj], dt)
+        spec = np.nonzero(groups != maj)[0]
+        if spec.size:
+            A_spec = jnp.asarray(A_u[groups[spec]] - A_u[maj][None], dt)
+            spec_idx = jnp.asarray(spec.astype(np.int32))
+    else:
+        A_full = jnp.asarray(A_u[groups], dt)
 
     route = RollRoute(
-        A=None if A0 is not None else jnp.asarray(A, dt),
+        A=A_full,
         masks=jnp.asarray(masks),
         irr_src=jnp.asarray(irr_src),
         irr_tgt=jnp.asarray(irr_tgt),
         A0=A0,
         A_spec=A_spec,
-        S_sel=S_sel,
+        spec_idx=spec_idx,
     )
     return route, tuple(offs), tuple(perms)
 
@@ -1458,17 +1526,16 @@ def _transfer_update(
 def _transfer_matmul(route: RollRoute, x: jax.Array) -> jax.Array:
     """u2 = A x batched over subdomains (shared-majority split when set)."""
     if route.A0 is not None:
-        # shared majority matmul + one-hot-selected per-domain corrections
+        # shared majority matmul + gathered per-domain corrections (sorted
+        # unique indices: the gather/scatter are layout copies)
         u2 = jax.lax.dot_general(
             x, route.A0, (((1,), (1,)), ((), ())), precision="highest"
         )
         if route.A_spec is not None:
-            xs = jax.lax.dot_general(
-                route.S_sel, x, (((1,), (0,)), ((), ())), precision="highest"
-            )
+            xs = x[route.spec_idx]
             ws = jnp.einsum("sik,sk->si", route.A_spec, xs, precision="highest")
-            u2 = u2 + jax.lax.dot_general(
-                route.S_sel, ws, (((0,), (0,)), ((), ())), precision="highest"
+            u2 = u2.at[route.spec_idx].add(
+                ws.astype(u2.dtype), unique_indices=True, indices_are_sorted=True
             )
         return u2
     return jnp.einsum("dik,dk->di", route.A, x, precision="highest")
