@@ -302,6 +302,7 @@ def run_ddh(
     out_dir: str | None = None,
     wh_maxit: int = 5,
     transfer: bool = False,
+    block_size: int = 16,
 ) -> DriverResult:
     """The DDH substructured-solver example (DDH.cpp:85-161).
 
@@ -327,7 +328,10 @@ def run_ddh(
 
     t_setup = time.perf_counter()
     if element_labels is None:
-        ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx, wh_maxit=wh_maxit)
+        ddh = DDH(
+            omega, a_nodal, fem, nx=nx, ny=nx, wh_maxit=wh_maxit,
+            block_size=block_size,
+        )
     else:
         ddh = DDH(
             omega, a_nodal, fem, element_labels=element_labels, wh_maxit=wh_maxit

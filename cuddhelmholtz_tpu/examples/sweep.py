@@ -52,6 +52,14 @@ def sweep(nx_list=(32, 64, 128), deg=3, **kwargs):
 if __name__ == "__main__":
     args = sys.argv[1:]
     transfer = "--transfer" in args
-    nxs = tuple(int(a) for a in args if a != "--transfer") or (32, 64, 128)
-    out = sweep(nxs, transfer=transfer)
+    block = 16
+    rest = []
+    it = iter(a for a in args if a != "--transfer")
+    for a in it:
+        if a == "--block":
+            block = int(next(it))
+        else:
+            rest.append(int(a))
+    nxs = tuple(rest) or (32, 64, 128)
+    out = sweep(nxs, transfer=transfer, block_size=block)
     print(json.dumps(out))

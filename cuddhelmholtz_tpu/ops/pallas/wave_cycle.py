@@ -184,7 +184,10 @@ def wave_cycle_pallas(
             s_group_size > 0
             and s_group_size % 8 == 0
             and params.S.shape[0] * s_group_size == ndom
-            and pad * pad * 12 < (1 << 24)  # one matrix + bf16 copies in VMEM
+            # Mosaic scoped-vmem stack: matrix family (~10 B/elem) + ~40
+            # effective (c, pad) fp32 row copies must stay under the 16 MB
+            # limit (callers cap their group size the same way)
+            and pad * pad * 22 + s_group_size * pad * 4 * 14 < (14 << 20)
         )
         if not ok:
             from ...solvers.ddh import _wave_cycle_xla
@@ -220,6 +223,15 @@ def wave_cycle_pallas(
 
     nt = params.tables.shape[0]
     if not grouped:
+        # Mosaic scoped-vmem stack ~= DB*pad*4 bytes x ~14 live row copies
+        # (state, forcing, stacked/split matmul operands, pipeline buffers)
+        # + ~22 B/elem for the S matrix family (fp32 + bf16 splits +
+        # staging + double-buffered input block); cap DB to stay under the
+        # 16 MB limit (measured: DB=512 at pad=640 hits 22.3 M, DB=232 at
+        # pad=640 17.0 M; pad=256 at DB=512 -- the flagship shape -- fits)
+        vm_db = ((14 << 20) - pad * pad * 22) // (pad * 4 * 14)
+        if vm_db >= 8:
+            block_domains = min(block_domains, (vm_db // 8) * 8)
         DB = max(1 if per_domain else 8, min(block_domains, ndom))
         n_pad = (-ndom) % DB
     S = params.S

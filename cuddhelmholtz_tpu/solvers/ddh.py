@@ -780,7 +780,12 @@ class DDH:
                 # bound the fp32 state rows to ~128 MB
                 chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
         if use_group:
-            chunk = max(8, (chunk // 8) * 8)
+            # grouped block = the (pad, pad) matrix family (~22 bytes/elem
+            # with bf16 splits, staging, and double-buffering) + ~14
+            # effective live (c, pad) fp32 row copies (fitted to Mosaic's
+            # scoped-vmem accounting); keep the stack under the 16 MB limit
+            vm_rows = ((14 << 20) - pad * pad * 22) // (pad * 4 * 14)
+            chunk = max(8, min((chunk // 8) * 8, (vm_rows // 8) * 8))
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
         @jax.jit
@@ -918,7 +923,12 @@ class DDH:
             else:
                 chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
         if use_group:
-            chunk = max(8, (chunk // 8) * 8)
+            # grouped block = the (pad, pad) matrix family (~22 bytes/elem
+            # with bf16 splits, staging, and double-buffering) + ~14
+            # effective live (c, pad) fp32 row copies (fitted to Mosaic's
+            # scoped-vmem accounting); keep the stack under the 16 MB limit
+            vm_rows = ((14 << 20) - pad * pad * 22) // (pad * 4 * 14)
+            chunk = max(8, min((chunk // 8) * 8, (vm_rows // 8) * 8))
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
         @jax.jit
