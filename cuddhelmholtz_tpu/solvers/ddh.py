@@ -874,7 +874,7 @@ class DDH:
             self.route, self.route_offs, self.route_perms = built
         return T_u
 
-    def precompute_io_maps(self, chunk: int | None = None, max_bytes: int = 1 << 29):
+    def precompute_io_maps(self, chunk: int | None = None, max_bytes: int = 1 << 30):
         """Precompute the rhs/postprocess linear maps (see ``IOMaps``).
 
         Probes the production cycle with one-hot forcing columns (2*pad) and
