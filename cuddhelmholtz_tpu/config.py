@@ -35,6 +35,10 @@ class ProblemConfig:
     # kind="ddh_multi": number of right-hand sides solved in one batched
     # (vmapped) substructured solve
     n_sources: int = 8
+    # DDH subdomain side length in DOFs (the reference hard-codes 16,
+    # DDH.cpp:5; 32 cuts high-frequency iteration counts ~3.5x at nx=512,
+    # docs/PERF.md)
+    block_size: int = 16
 
     @property
     def omega(self) -> float:
@@ -74,6 +78,16 @@ BASELINE_CONFIGS = (
         name="ddh_high_frequency",
         kind="ddh",
         nx=256,  # omega = 2*pi*25.6
+        gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
+    ),
+    # beyond-reference scale: 2.4M DOF at 4x the reference frequency with
+    # 32-DOF subdomain blocks (the one-level-DD frequency fix; the
+    # reference hard-codes 16-DOF blocks and tops out at nx=128)
+    ProblemConfig(
+        name="ddh_512_block32",
+        kind="ddh",
+        nx=512,  # omega = 2*pi*51.2
+        block_size=32,
         gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
     ),
     # beyond-reference: the coupled system to 1e-6 (fp64 FGMRES outer,

@@ -164,6 +164,7 @@ def run_config(cfg, **overrides) -> DriverResult:
         return run_ddh(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
             wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
+            block_size=cfg.block_size,
         )
     if cfg.kind == "ddh_multi":
         return run_ddh_multi_source(
