@@ -203,14 +203,59 @@ def main():
                 "total_seconds": time.perf_counter() - t0,
                 "final_rel_res": float(r.res_norm[-1] / r.res_norm[0]),
             }
+            for k in ("warm_seconds", "compile_seconds"):
+                if k in r.extra:
+                    baseline_extras[name][k] = r.extra[k]
             log(f"{name}: {baseline_extras[name]}")
 
         try:
             t0 = time.perf_counter()
-            record("ddh_unstructured_square", run_config(by_name["ddh_unstructured_square"]), t0)
+            record(
+                "ddh_unstructured_square",
+                run_config(by_name["ddh_unstructured_square"], measure_warm=True),
+                t0,
+            )
         except Exception as e:  # pragma: no cover - diagnostics only
             baseline_extras["ddh_unstructured_square"] = {"error": repr(e)[:200]}
             log(f"ddh_unstructured_square FAILED: {e!r}")
+
+        # the flagship SCALE claim (nx=512, block-32 subdomains, 2.4M DOF)
+        # is regression-tracked like the flagship speed claim: warm numbers
+        # (disk-cached maps); failures never kill the headline metric
+        try:
+            t0 = time.perf_counter()
+            record(
+                "ddh_512_block32",
+                run_config(by_name["ddh_512_block32"], measure_warm=True),
+                t0,
+            )
+        except Exception as e:  # pragma: no cover - diagnostics only
+            baseline_extras["ddh_512_block32"] = {"error": repr(e)[:200]}
+            log(f"ddh_512_block32 FAILED: {e!r}")
+
+        # batched multi-source throughput: K sources in ONE vmapped solve,
+        # reported as warm sources/s and speedup vs K sequential warm
+        # flagship solves (the timed `secs` from this same run)
+        try:
+            t0 = time.perf_counter()
+            rm = run_config(by_name["ddh_multi_source_8"], measure_warm=True)
+            total = time.perf_counter() - t0
+            k = int(rm.extra["n_sources"])
+            wsec = rm.extra.get("warm_seconds", rm.seconds)
+            baseline_extras["ddh_multi_source_8"] = {
+                "success": bool(rm.success),
+                "n_sources": k,
+                "solve_seconds": rm.seconds,
+                "warm_seconds": wsec,
+                "total_seconds": total,
+                "sources_per_s": k / wsec,
+                "per_source_matvecs": rm.extra["per_source_matvecs"],
+                "speedup_vs_sequential": k * secs / wsec,
+            }
+            log(f"ddh_multi_source_8: {baseline_extras['ddh_multi_source_8']}")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            baseline_extras["ddh_multi_source_8"] = {"error": repr(e)[:200]}
+            log(f"ddh_multi_source_8 FAILED: {e!r}")
 
         # the composite 1e-6 solves run fp64 OUTER FGMRES: x64 is a
         # process-global flag decided at import, so run them in a
@@ -241,6 +286,12 @@ def main():
                 "value": nnz_s,
                 "unit": "nnz/s",
                 "vs_baseline": 1.0,
+                # headline EXECUTED metrics (VERDICT r03 #7): the timed warm
+                # flagship solve wall-clock and the Pallas wave-cycle
+                # throughput move a top-level tracked number even when the
+                # algorithmic transfer path dominates `value`
+                "solve_seconds": secs,
+                "wave_cycle_executed_nnz_s": cyc_nnz_s,
                 "extras": {
                     "solve_seconds": secs,
                     "setup_seconds": setup_seconds,

@@ -130,6 +130,10 @@ def run_config(cfg, **overrides) -> DriverResult:
     from ..mesh.io import load_unstructured_square
     from ..spaces.ensemble import coordinate_bisection_labels
 
+    # driver-level (non-config) kwargs forwarded to the run_* functions
+    fwd = {
+        k: overrides.pop(k) for k in ("measure_warm",) if k in overrides
+    }
     if overrides:
         gm = {k: overrides.pop(k) for k in ("m", "maxit", "tol") if k in overrides}
         if gm:
@@ -150,7 +154,7 @@ def run_config(cfg, **overrides) -> DriverResult:
         return run_helmholtz_ddh(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
             wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
-            mesh=mesh, n_domains=cfg.n_domains,
+            mesh=mesh, n_domains=cfg.n_domains, **fwd,
         )
     if cfg.kind == "ddh":
         if cfg.mesh == "unstructured_square":
@@ -159,17 +163,17 @@ def run_config(cfg, **overrides) -> DriverResult:
             return run_ddh(
                 nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
                 mesh=mesh, element_labels=labels, wh_maxit=cfg.wh_maxit,
-                transfer=cfg.transfer,
+                transfer=cfg.transfer, **fwd,
             )
         return run_ddh(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
             wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
-            block_size=cfg.block_size,
+            block_size=cfg.block_size, **fwd,
         )
     if cfg.kind == "ddh_multi":
         return run_ddh_multi_source(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
-            n_sources=cfg.n_sources, transfer=cfg.transfer,
+            n_sources=cfg.n_sources, transfer=cfg.transfer, **fwd,
         )
     raise ValueError(f"unknown config kind: {cfg.kind}")
 
@@ -304,6 +308,7 @@ def run_ddh(
     wh_maxit: int = 5,
     transfer: bool = False,
     block_size: int = 16,
+    measure_warm: bool = False,
 ) -> DriverResult:
     """The DDH substructured-solver example (DDH.cpp:85-161).
 
@@ -352,6 +357,15 @@ def run_ddh(
     out, U = solve(b)
     U.block_until_ready()
     dt = time.perf_counter() - t0
+    warm = {}
+    if measure_warm:
+        # second identical call reuses the compiled executable: the
+        # compile-free number a user pays on every solve after the first
+        t0 = time.perf_counter()
+        out, U = solve(b)
+        U.block_until_ready()
+        warm["warm_seconds"] = time.perf_counter() - t0
+        warm["compile_seconds"] = dt - warm["warm_seconds"]
     U = np.asarray(U)
     if out_dir:
         to_file(f"{out_dir}/xy.0000", fem.coords.T)
@@ -377,6 +391,7 @@ def run_ddh(
             "setup_seconds": setup_s,
             "precompute": pstats,
             "ddh": ddh,
+            **warm,
         },
     )
 
@@ -392,6 +407,7 @@ def run_ddh_multi_source(
     transfer: bool = True,
     shard_sources: bool = False,
     out_dir: str | None = None,
+    measure_warm: bool = False,
 ) -> DriverResult:
     """Solve the DDH example for ``n_sources`` right-hand sides in ONE
     batched substructured solve (``jax.vmap`` over the full
@@ -461,6 +477,13 @@ def run_ddh_multi_source(
     outs, Us = solve(bs)
     Us.block_until_ready()
     dt = time.perf_counter() - t0
+    warm = {}
+    if measure_warm:
+        t0 = time.perf_counter()
+        outs, Us = solve(bs)
+        Us.block_until_ready()
+        warm["warm_seconds"] = time.perf_counter() - t0
+        warm["compile_seconds"] = dt - warm["warm_seconds"]
     Us = np.asarray(Us)
     n_hist = np.asarray(outs.n_hist)
     hists = [
@@ -493,6 +516,7 @@ def run_ddh_multi_source(
             "setup_seconds": setup_s,
             "precompute": pstats,
             "ddh": ddh,
+            **warm,
         },
     )
 
@@ -512,6 +536,9 @@ def run_helmholtz_ddh(
     element_labels: np.ndarray | None = None,
     n_domains: int | None = None,
     out_dir: str | None = None,
+    refine: bool = True,
+    max_refine: int = 6,
+    measure_warm: bool = True,
 ) -> DriverResult:
     """Solve the coupled Helmholtz system to ``tol`` with FGMRES
     right-preconditioned by the DDH substructured solver.
@@ -523,10 +550,24 @@ def run_helmholtz_ddh(
     (``inner_maxit`` lambda restarts, no early exit) as the preconditioner,
     driving the TRUE coupled residual to 1e-6 in a handful of outer steps.
 
-    Precision mirrors the reference's split (fp64 global operators, fp32
-    DDH): the outer system runs in ``dtype`` while the preconditioner is
-    always fp32.  An all-fp32 solve floors at ~2e-6 relative residual;
-    keep the fp64 default for tolerances at or below 1e-6.
+    Precision (``refine=True``, the default for fp64 targets): the TPU has
+    no fp64 MXU, so an fp64 outer Krylov pays emulated matmuls on EVERY
+    Arnoldi step (measured 109 ms vs 17.9 ms per fp32 coupled matvec at
+    nx=128).  Mixed-precision iterative refinement moves all Krylov work to
+    fp32: each step solves the residual equation ``A dx = r`` with fp32
+    FGMRES-DDH to a loose relative tolerance, corrects ``x`` in fp64, and
+    recomputes the TRUE residual with the fp64 operator -- one emulated
+    matvec per refinement step (2-3 total) instead of one per Arnoldi step.
+    An fp32 solve alone floors at ~2e-6 relative residual (r02, PERF.md);
+    the fp64 residual recomputation removes that floor, so the scheme
+    reaches any tolerance down to fp64 grade.  ``refine=False`` restores
+    the all-``dtype`` outer FGMRES (identical trajectories to r03).
+
+    ``measure_warm=True`` runs the converged solve a second time to split
+    jit-compile from execution (the reference's solver_out separates
+    per-restart times from the solve, gmres.cpp:122-126,197-201):
+    ``extra["warm_seconds"]`` is the compile-free number, ``seconds`` keeps
+    the first (compile-inclusive) wall time.
 
     Pass ``mesh`` (+ optional ``element_labels``; default recursive
     coordinate bisection into ``n_domains`` parts) to run on an arbitrary
@@ -581,29 +622,96 @@ def run_helmholtz_ddh(
         out = gmres(ddh.action, Y, m=inner_m, maxit=inner_maxit, tol=0.0)
         return ddh.postprocess(out.x, v32).astype(v.dtype)
 
-    matvec = lambda U: apply_helmholtz(op, U)
-    solve = jax.jit(lambda b: fgmres(matvec, b, P, m=m, maxit=maxit, tol=tol))
-    t0 = time.perf_counter()
-    out = solve(b)
-    out.x.block_until_ready()
-    dt = time.perf_counter() - t0
-    U = np.asarray(out.x)
+    use_refine = refine and jnp.dtype(dtype) == jnp.dtype("float64")
+    extra = {"omega": omega, "ndof": fem.ndof, "setup_seconds": setup_s,
+             "precompute": pstats, "refine": use_refine}
+
+    if use_refine:
+        op32 = make_helmholtz_op(
+            omega, np.asarray(a2, np.float32), np.asarray(af, np.float32),
+            fem, fs, dtype=jnp.float32,
+        )
+        matvec32 = lambda U: apply_helmholtz(op32, U)
+        matvec64 = jax.jit(lambda U: apply_helmholtz(op, U))
+        inner = jax.jit(
+            lambda r, tl: fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl)
+        )
+
+        def solve_once():
+            x = jnp.zeros(2 * fem.ndof, dtype=jnp.float64)
+            bnrm = float(jnp.linalg.norm(b))
+            r, rn = b, bnrm
+            outer_hist, inner_hists, tols = [rn], [], []
+            iters = mvs = steps = 0
+            while rn > tol * bnrm and steps < max_refine:
+                # contract toward the target with 0.3 safety, but never
+                # deeper than 2e-5 per inner solve: fp32 FGMRES convergence
+                # degrades near its ~2e-6 representation floor
+                tl = min(0.5, max(2e-5, 0.3 * tol * bnrm / rn))
+                out = inner(r.astype(jnp.float32), jnp.float32(tl))
+                x = x + out.x.astype(jnp.float64)
+                r = b - matvec64(x)
+                rn_new = float(jnp.linalg.norm(r))
+                outer_hist.append(rn_new)
+                inner_hists.append(np.asarray(out.res_norm)[: int(out.n_hist)])
+                tols.append(tl)
+                iters += int(out.num_iter)
+                mvs += int(out.num_matvec) + 1
+                steps += 1
+                if rn_new >= 0.9 * rn:  # stagnation guard
+                    rn = rn_new
+                    break
+                rn = rn_new
+            return x, outer_hist, inner_hists, tols, iters, mvs, steps, rn <= tol * bnrm
+
+        t0 = time.perf_counter()
+        x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once()
+        np.asarray(x)
+        dt = time.perf_counter() - t0
+        if measure_warm:
+            t0 = time.perf_counter()
+            x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once()
+            np.asarray(x)
+            extra["warm_seconds"] = time.perf_counter() - t0
+            extra["compile_seconds"] = dt - extra["warm_seconds"]
+        U = np.asarray(x)
+        res_hist = np.asarray(outer_hist)
+        extra.update(
+            refine_steps=steps,
+            inner_tols=tols,
+            inner_histories=[h.tolist() for h in inner_hists],
+        )
+        num_iter, num_matvec, success = iters, mvs, ok
+    else:
+        matvec = lambda U: apply_helmholtz(op, U)
+        solve = jax.jit(lambda b: fgmres(matvec, b, P, m=m, maxit=maxit, tol=tol))
+        t0 = time.perf_counter()
+        out = solve(b)
+        out.x.block_until_ready()
+        dt = time.perf_counter() - t0
+        if measure_warm:
+            t0 = time.perf_counter()
+            out = solve(b)
+            out.x.block_until_ready()
+            extra["warm_seconds"] = time.perf_counter() - t0
+            extra["compile_seconds"] = dt - extra["warm_seconds"]
+        U = np.asarray(out.x)
+        res_hist = np.asarray(out.res_norm)[: int(out.n_hist)]
+        num_iter, num_matvec, success = int(out.num_iter), int(out.num_matvec), bool(out.success)
+
     if out_dir:
         to_file(f"{out_dir}/xy.0000", fem.coords.T)
         to_file(f"{out_dir}/helmholtz_ddh.0000", U)
-        write_history(
-            f"{out_dir}/hddh_{nx}_{deg}.txt",
-            np.asarray(out.res_norm)[: int(out.n_hist)],
-        )
+        write_history(f"{out_dir}/hddh_{nx}_{deg}.txt", res_hist)
     return DriverResult(
         solution=U,
         coords=fem.coords,
-        res_norm=np.asarray(out.res_norm)[: int(out.n_hist)],
-        num_iter=int(out.num_iter),
-        num_matvec=int(out.num_matvec),
+        res_norm=res_hist,
+        num_iter=num_iter,
+        num_matvec=num_matvec,
         seconds=dt,
-        success=bool(out.success),
-        extra={"omega": omega, "ndof": fem.ndof, "setup_seconds": setup_s, "precompute": pstats},
+        success=success,
+        extra=extra,
     )
 
 
@@ -628,18 +736,21 @@ def main(argv=None):
         k, v = kv.split("=", 1)
         overrides[k] = float(v) if k == "tol" else int(v)
     res = run_config(cfg, **overrides)
-    print(
-        json.dumps(
-            {
-                "config": cfg.name,
-                "success": bool(res.success),
-                "iters": int(res.num_iter),
-                "matvecs": int(res.num_matvec),
-                "seconds": res.seconds,
-                "final_rel_res": float(res.res_norm[-1] / res.res_norm[0]),
-            }
-        )
-    )
+    rec = {
+        "config": cfg.name,
+        "success": bool(res.success),
+        "iters": int(res.num_iter),
+        "matvecs": int(res.num_matvec),
+        "seconds": res.seconds,
+        "final_rel_res": float(res.res_norm[-1] / res.res_norm[0]),
+    }
+    # warm/compile split and refinement structure, when the driver records
+    # them (run_helmholtz_ddh): the warm number is the solve cost a user
+    # pays on every solve after the first
+    for k in ("warm_seconds", "compile_seconds", "refine_steps", "setup_seconds"):
+        if k in res.extra:
+            rec[k] = res.extra[k]
+    print(json.dumps(rec))
     return 0
 
 

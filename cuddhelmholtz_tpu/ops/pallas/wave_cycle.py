@@ -41,6 +41,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 WH_MAXIT = 5
 
+# Fitted Mosaic scoped-VMEM budget (bytes).  The kernel keeps the (pad, pad)
+# stiffness family (~22 B/elem: fp32 + bf16 splits + staging + the
+# double-buffered input block) and ~14 effective live (rows, pad) fp32 row
+# copies (state, forcing, stacked/split matmul operands, pipeline buffers)
+# resident; the constants are fitted to Mosaic's scoped-vmem accounting
+# (measured: DB=512 at pad=640 hits 22.3 MB of the 16 MB stack, DB=232 fits).
+# A Mosaic version bump that shifts its accounting shows up as a compile
+# failure, which the DDH precompute loops catch and step down from (halve
+# the chunk, then fall back to the XLA scan) -- see ``solvers/ddh.py``.
+VMEM_BUDGET = 14 << 20
+
+
+def grouped_vmem_rows(pad: int, budget: int | None = None) -> int:
+    """Max row-block size (multiple of 8) fitting the scoped-VMEM model.
+
+    Single source of truth for the kernel's own admission check and the DDH
+    precompute chunk caps (``DDH.precompute_transfer`` /
+    ``precompute_io_maps``).  Returns 0 when even 8 rows do not fit (the
+    caller must use the XLA path).
+    """
+    b = VMEM_BUDGET if budget is None else budget
+    rows = (b - pad * pad * 22) // (pad * 4 * 14)
+    return max(0, (rows // 8) * 8)
+
 
 def _wave_kernel(nt, wh_maxit, precision, grouped, scal_ref, tab_ref, S_ref, F_ref, G_ref, Ha_ref, mi_ref, u_ref, v_ref):
     dt = scal_ref[0, 0]
@@ -184,15 +208,25 @@ def wave_cycle_pallas(
             s_group_size > 0
             and s_group_size % 8 == 0
             and params.S.shape[0] * s_group_size == ndom
-            # Mosaic scoped-vmem stack: matrix family (~10 B/elem) + ~40
-            # effective (c, pad) fp32 row copies must stay under the 16 MB
-            # limit (callers cap their group size the same way)
-            and pad * pad * 22 + s_group_size * pad * 4 * 14 < (14 << 20)
+            # scoped-VMEM admission check (shared model: grouped_vmem_rows)
+            and s_group_size <= grouped_vmem_rows(pad)
         )
         if not ok:
             from ...solvers.ddh import _wave_cycle_xla
 
-            return _wave_cycle_xla(params, F, G, wh_maxit, precision)
+            # the caller passed the DEDUPED (nu, pad, pad) stack with rows
+            # ordered in runs of s_group_size; the XLA cycle needs per-row
+            # matrices, so expand before falling back
+            S_full = params.S
+            if (
+                s_group_size > 0
+                and params.S.ndim == 3
+                and params.S.shape[0] * s_group_size == ndom
+            ):
+                S_full = jnp.repeat(params.S, s_group_size, axis=0)
+            return _wave_cycle_xla(
+                params._replace(S=S_full), F, G, wh_maxit, precision
+            )
         grouped = True
         DB = s_group_size
         n_pad = 0
@@ -223,15 +257,10 @@ def wave_cycle_pallas(
 
     nt = params.tables.shape[0]
     if not grouped:
-        # Mosaic scoped-vmem stack ~= DB*pad*4 bytes x ~14 live row copies
-        # (state, forcing, stacked/split matmul operands, pipeline buffers)
-        # + ~22 B/elem for the S matrix family (fp32 + bf16 splits +
-        # staging + double-buffered input block); cap DB to stay under the
-        # 16 MB limit (measured: DB=512 at pad=640 hits 22.3 M, DB=232 at
-        # pad=640 17.0 M; pad=256 at DB=512 -- the flagship shape -- fits)
-        vm_db = ((14 << 20) - pad * pad * 22) // (pad * 4 * 14)
+        # cap DB by the shared scoped-VMEM model (see grouped_vmem_rows)
+        vm_db = grouped_vmem_rows(pad)
         if vm_db >= 8:
-            block_domains = min(block_domains, (vm_db // 8) * 8)
+            block_domains = min(block_domains, vm_db)
         DB = max(1 if per_domain else 8, min(block_domains, ndom))
         n_pad = (-ndom) % DB
     S = params.S
