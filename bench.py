@@ -89,8 +89,8 @@ def main():
     # (closure constants break remote-compile payload limits at scale)
     solve_jit = ddh.solver(m, maxit, tol)
 
-    def solve():
-        out, U = solve_jit(b)
+    def solve(bv):
+        out, U = solve_jit(bv)
         U.block_until_ready()
         return out, U
 
@@ -131,7 +131,7 @@ def main():
         jax.profiler.start_trace("/tmp/cuddh_trace")
 
     t0 = time.perf_counter()
-    out, U = solve()
+    out, U = solve(b)
     warm = time.perf_counter() - t0
     if os.environ.get("BENCH_PROFILE"):
         jax.profiler.stop_trace()
@@ -139,8 +139,14 @@ def main():
     log(f"warm (compile+run) {warm:.2f}s; iters={int(out.num_iter)} "
         f"matvecs={int(out.num_matvec)} success={bool(out.success)}")
 
+    # timed run on a PERTURBED rhs (fresh device argument): the tunnel can
+    # short-circuit repeated same-argument dispatches (verify-skill note).
+    # Materialize the perturbation BEFORE timing (its first eager dispatch
+    # carries a remote compile).
+    b2 = b * (1.0 + jnp.float32(1e-6))
+    b2.block_until_ready()
     t0 = time.perf_counter()
-    out, U = solve()
+    out, U = solve(b2)
     secs = time.perf_counter() - t0
     hist = np.asarray(out.res_norm)[: int(out.n_hist)]
     log(f"timed run {secs:.2f}s; residual history (first/last): {hist[0]:.3e} {hist[-1]:.3e}")

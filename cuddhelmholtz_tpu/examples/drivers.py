@@ -359,11 +359,16 @@ def run_ddh(
     dt = time.perf_counter() - t0
     warm = {}
     if measure_warm:
-        # second identical call reuses the compiled executable: the
-        # compile-free number a user pays on every solve after the first
+        # compile-free number a user pays on every solve after the first.
+        # Fresh (perturbed) argument + scalar host sync: the axon tunnel
+        # reports impossible times for repeated same-argument dispatches
+        # (verify-skill methodology); the perturbed-run outputs are
+        # discarded, reporting keeps the first solve's results
+        b2 = b * (1.0 + jnp.asarray(1e-6, b.dtype))
+        b2.block_until_ready()  # the first eager multiply carries a compile
         t0 = time.perf_counter()
-        out, U = solve(b)
-        U.block_until_ready()
+        out2, U2 = solve(b2)
+        float(jnp.sum(U2))
         warm["warm_seconds"] = time.perf_counter() - t0
         warm["compile_seconds"] = dt - warm["warm_seconds"]
     U = np.asarray(U)
@@ -479,9 +484,12 @@ def run_ddh_multi_source(
     dt = time.perf_counter() - t0
     warm = {}
     if measure_warm:
+        # fresh (perturbed) argument + scalar sync -- see run_ddh
+        bs2 = bs * (1.0 + jnp.asarray(1e-6, bs.dtype))
+        bs2.block_until_ready()  # first eager multiply carries a compile
         t0 = time.perf_counter()
-        outs, Us = solve(bs)
-        Us.block_until_ready()
+        outs2, Us2 = solve(bs2)
+        float(jnp.sum(Us2))
         warm["warm_seconds"] = time.perf_counter() - t0
         warm["compile_seconds"] = dt - warm["warm_seconds"]
     Us = np.asarray(Us)
@@ -637,10 +645,10 @@ def run_helmholtz_ddh(
             lambda r, tl: fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl)
         )
 
-        def solve_once():
+        def solve_once(bv):
             x = jnp.zeros(2 * fem.ndof, dtype=jnp.float64)
-            bnrm = float(jnp.linalg.norm(b))
-            r, rn = b, bnrm
+            bnrm = float(jnp.linalg.norm(bv))
+            r, rn = bv, bnrm
             outer_hist, inner_hists, tols = [rn], [], []
             iters = mvs = steps = 0
             while rn > tol * bnrm and steps < max_refine:
@@ -650,7 +658,7 @@ def run_helmholtz_ddh(
                 tl = min(0.5, max(2e-5, 0.3 * tol * bnrm / rn))
                 out = inner(r.astype(jnp.float32), jnp.float32(tl))
                 x = x + out.x.astype(jnp.float64)
-                r = b - matvec64(x)
+                r = bv - matvec64(x)
                 rn_new = float(jnp.linalg.norm(r))
                 outer_hist.append(rn_new)
                 inner_hists.append(np.asarray(out.res_norm)[: int(out.n_hist)])
@@ -665,12 +673,18 @@ def run_helmholtz_ddh(
             return x, outer_hist, inner_hists, tols, iters, mvs, steps, rn <= tol * bnrm
 
         t0 = time.perf_counter()
-        x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once()
+        x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once(b)
         np.asarray(x)
         dt = time.perf_counter() - t0
         if measure_warm:
+            # perturbed rhs (1e-9 << tol): forces fresh device arguments so
+            # the tunnel cannot short-circuit repeated dispatches (see
+            # run_ddh); the reported results come from this warm run and
+            # differ from the first only at the perturbation level
+            b_w = b * (1.0 + 1e-9)
+            b_w.block_until_ready()
             t0 = time.perf_counter()
-            x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once()
+            x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once(b_w)
             np.asarray(x)
             extra["warm_seconds"] = time.perf_counter() - t0
             extra["compile_seconds"] = dt - extra["warm_seconds"]
@@ -690,9 +704,12 @@ def run_helmholtz_ddh(
         out.x.block_until_ready()
         dt = time.perf_counter() - t0
         if measure_warm:
+            # perturbed rhs + scalar sync: see the refine branch
+            b_w = b * (1.0 + 1e-9)
+            b_w.block_until_ready()
             t0 = time.perf_counter()
-            out = solve(b)
-            out.x.block_until_ready()
+            out2 = solve(b_w)
+            float(jnp.sum(out2.x))
             extra["warm_seconds"] = time.perf_counter() - t0
             extra["compile_seconds"] = dt - extra["warm_seconds"]
         U = np.asarray(out.x)
