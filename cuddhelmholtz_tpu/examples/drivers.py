@@ -547,6 +547,7 @@ def run_helmholtz_ddh(
     refine: bool = True,
     max_refine: int = 6,
     measure_warm: bool = True,
+    omega: float | None = None,
 ) -> DriverResult:
     """Solve the coupled Helmholtz system to ``tol`` with FGMRES
     right-preconditioned by the DDH substructured solver.
@@ -586,7 +587,8 @@ def run_helmholtz_ddh(
     from ..solvers.gmres import fgmres
 
     _require_x64(dtype)
-    omega = 2 * np.pi * nx / 10
+    if omega is None:
+        omega = 2 * np.pi * nx / 10  # the reference drivers' scaling
     structured = mesh is None
     if structured:
         mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)

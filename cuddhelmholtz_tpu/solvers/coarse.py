@@ -1,0 +1,240 @@
+"""Two-level DDH: a plane-wave coarse space on the interface (lambda) system.
+
+One-level substructuring shows the classical frequency wall: restarts grow
+18 -> 19 -> 88 over nx=128/256/512 at 16-DOF blocks (docs/PERF.md).  The
+standard cure is a coarse space: project the residual onto a small set of
+slowly-resolved interface modes, solve that coarse problem directly, and
+correct.  This goes beyond the reference outright -- its DDH is strictly
+one-level (``/root/reference/source/DDH.cpp:111-321``).
+
+Design (TPU-first):
+
+* Coarse columns are **plane waves localised to superdomains**: for each
+  superdomain ``s`` (a cluster of subdomains from median bisection of their
+  centroids), each side (lambda / mu), and each mode ``phi_j`` in
+  ``{1} + {cos(omega e_r . x), sin(omega e_r . x)}`` over ``n_dir``
+  equispaced directions, the column takes value ``phi_j(x)`` at every
+  surviving trace unknown of ``s``'s subdomains and 0 elsewhere.  Plane
+  waves are the natural coarse basis for Helmholtz traces (constants alone
+  cannot represent oscillatory error at omega-scale).
+* The Galerkin coarse matrix ``E = Z^T (I - U) Z`` is assembled **exactly**
+  on the host from the already-precomputed per-subdomain transfer matrices
+  (the identity-folded stack of ``_build_roll_route``): ``U``'s scatter is
+  collision-free in the own-slot layout (all surviving B1 ids are
+  distinct), so the assembly is a per-domain dense contraction plus a
+  scatter-add over (superdomain, mode) pairs -- no probe solves.
+* ``E`` is symmetrically diagonal-normalised, ridge-regularised, and
+  inverted once; the device keeps ``Einv`` so each application is two
+  small einsums + one (nc, nc) matmul (MXU) + two segment reductions.
+
+The correction is used as a right preconditioner in FGMRES on the lambda
+system (``DDH.solver(coarse=...)``): additive ``v + Z E^{-1} Z^T v`` (one
+action per iteration) or multiplicative ``q + (v - A q)`` with
+``q = Z E^{-1} Z^T v`` (two actions, stronger).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CoarseSpace(NamedTuple):
+    """Device data for the coarse correction (see module docstring).
+
+    ``nm`` modes per (superdomain, side); ``nc = 2 * n_super * nm`` coarse
+    unknowns ordered (side, superdomain, mode), lambda side first.
+    """
+
+    V: jax.Array  # (ndom, pf, nm) mode values at own trace slots (masked)
+    sd: jax.Array  # (ndom,) int32 superdomain label per subdomain
+    Einv: jax.Array  # (nc, nc) inverse of the normalised Galerkin matrix
+    dscale: jax.Array  # (nc,) column normalisation 1/sqrt(diag Z^T Z)
+
+
+def superdomain_labels(points: np.ndarray, n_super: int) -> np.ndarray:
+    """Cluster points into ``n_super`` (a power of two) groups by recursive
+    median bisection along the widest axis -- the same scheme as the
+    element partitioner (``spaces/ensemble.coordinate_bisection_labels``),
+    applied to subdomain centroids so it works for structured AND
+    unstructured partitions."""
+    n = points.shape[0]
+    depth = max(0, int(round(np.log2(max(1, n_super)))))
+    labels = np.zeros(n, dtype=np.int64)
+
+    def split(idx: np.ndarray, lab: int, d: int) -> None:
+        if d == 0 or idx.size <= 1:
+            labels[idx] = lab
+            return
+        p = points[idx]
+        ax = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        order = np.argsort(p[:, ax], kind="stable")
+        half = idx.size // 2
+        split(idx[order[:half]], 2 * lab, d - 1)
+        split(idx[order[half:]], 2 * lab + 1, d - 1)
+
+    split(np.arange(n), 0, depth)
+    # compress labels (all 2^depth leaves are populated for n >= 2^depth)
+    _, inv = np.unique(labels, return_inverse=True)
+    return inv
+
+
+def _mode_values(xy: np.ndarray, omega: float, n_dir: int) -> np.ndarray:
+    """phi_j(x) for j = 0..nm-1: constant + cos/sin plane waves over
+    ``n_dir`` equispaced directions in [0, pi)."""
+    out = [np.ones(xy.shape[:-1])]
+    for r in range(n_dir):
+        th = np.pi * r / max(1, n_dir)
+        ph = omega * (np.cos(th) * xy[..., 0] + np.sin(th) * xy[..., 1])
+        out.append(np.cos(ph))
+        out.append(np.sin(ph))
+    return np.stack(out, axis=-1)
+
+
+def build_coarse_space(
+    ddh,
+    n_dir: int = 4,
+    domains_per_super: int = 16,
+    ridge: float = 1e-8,
+    dtype=jnp.float32,
+) -> CoarseSpace:
+    """Assemble the coarse space for a DDH whose transfer operator has been
+    precomputed (``ddh.prepare()`` / ``precompute_transfer``)."""
+    if ddh._T_u is None:
+        raise ValueError("coarse space needs the transfer operator: run prepare()")
+    fslot = ddh._fslot_np  # (ndom, pf)
+    B0, B1 = ddh._B0_np, ddh._B1_np
+    gI = ddh._gI_np
+    ndom, pf = fslot.shape
+    n_own = ddh.n_own
+    omega = ddh.omega
+    coords = np.asarray(ddh.space.coords)  # (ndof, 2)
+
+    # mode values at the own trace slots, masked to surviving unknowns
+    ok = (fslot >= 0) & (B0 >= 0)
+    gdof = np.where(ok, np.take_along_axis(gI, np.maximum(fslot, 0), axis=1), 0)
+    xy = coords[gdof]  # (ndom, pf, 2)
+    V = _mode_values(xy, omega, n_dir) * ok[:, :, None]  # (ndom, pf, nm)
+    nm = V.shape[2]
+
+    # superdomains from subdomain centroids (mean of valid slot coords)
+    cnt = np.maximum(ok.sum(axis=1), 1)
+    cen = (xy * ok[:, :, None]).sum(axis=1) / cnt[:, None]
+    n_super = max(1, ndom // max(1, domains_per_super))
+    sd = superdomain_labels(cen, n_super)
+    nS = int(sd.max()) + 1
+    nc = 2 * nS * nm
+
+    # identity-folded per-domain transfer stack (same fold as the roll
+    # route): row i < pf gives y_l = -x_l - (T x)_l, else y_m = -x_m + (T x)_m
+    T_u = np.asarray(ddh._T_u, dtype=np.float64)
+    if not np.isfinite(T_u).all():
+        raise ValueError(
+            "transfer operator contains non-finite values (an unstable "
+            "nt_override breaks the leapfrog CFL limit)"
+        )
+    A_u = np.concatenate([-T_u[:, :pf, :], T_u[:, pf:, :]], axis=1)
+    A_u[:, np.arange(2 * pf), np.arange(2 * pf)] -= 1.0
+    groups = ddh._T_groups
+
+    # E = Z^T Z - Z^T U Z.  U's scatter (own-slot layout) is collision-free
+    # -- every surviving B1 id is distinct -- so set == add and the Galerkin
+    # matrix is exact.  Writes to the lost tail (B1 >= n_own) leave the
+    # coarse space (Z is zero there): mask them out.
+    E = np.zeros((nc, nc))
+    tgt_ok = (B1 >= 0) & (B1 < n_own)
+    dual_dom = np.where(tgt_ok, B1 // pf, 0)
+    sdd = sd[dual_dom]  # (ndom, pf) superdomain of each dual target
+
+    # Z^T Z: block diagonal over (side, superdomain)
+    VtV = np.einsum("dkj,dkl->djl", V, V)  # (ndom, nm, nm)
+    blocks = np.zeros((nS, nm, nm))
+    np.add.at(blocks, sd, VtV)
+    jj, ll = np.meshgrid(np.arange(nm), np.arange(nm), indexing="ij")
+    for side in (0, 1):
+        base = side * nS * nm
+        rows = base + (np.arange(nS)[:, None, None] * nm + jj[None])
+        cols = base + (np.arange(nS)[:, None, None] * nm + ll[None])
+        np.add.at(E, (rows.reshape(-1), cols.reshape(-1)), blocks.reshape(-1))
+
+    # minus Z^T U Z, chunked over domains to bound the A_u[groups] expansion
+    chunk = max(1, min(ndom, (1 << 27) // max(1, 4 * pf * pf * 8)))
+    for d0 in range(0, ndom, chunk):
+        d1 = min(ndom, d0 + chunk)
+        A_c = A_u[groups[d0:d1]]  # (c, 2pf, 2pf)
+        V_c = V[d0:d1]
+        m_c = tgt_ok[d0:d1]
+        sdd_c = sdd[d0:d1]
+        sdo_c = sd[d0:d1]
+        for t in (0, 1):  # target side (lambda / mu rows)
+            for s in (0, 1):  # source side (lambda / mu columns)
+                Ab = A_c[:, t * pf : (t + 1) * pf, s * pf : (s + 1) * pf]
+                Y = np.einsum("dkc,dcj->dkj", Ab, V_c)  # (c, pf, nm)
+                # E[(t, sdd, j'), (s, sdo, j)] -= V[d,k,j'] * Y[d,k,j]
+                vals = (V_c[:, :, :, None] * Y[:, :, None, :]) * m_c[
+                    :, :, None, None
+                ]  # (c, pf, nm, nm)
+                rows = (t * nS + sdd_c[:, :, None, None]) * nm + jj[None, None]
+                cols = (s * nS + sdo_c[:, None, None, None]) * nm + ll[None, None]
+                rows = np.broadcast_to(rows, vals.shape).reshape(-1)
+                cols = np.broadcast_to(cols, vals.shape).reshape(-1)
+                np.add.at(E, (rows, cols), -vals.reshape(-1))
+
+    # symmetric diagonal normalisation + ridge, then one dense inverse.
+    # Large coarse spaces invert on the accelerator (fp32 LU on the MXU;
+    # host LAPACK on 2 cores needs ~minutes above nc ~ 8k)
+    d = np.sqrt(np.abs(np.diag(E)))
+    d = np.where(d > 1e-12 * max(d.max(), 1.0), d, 1.0)
+    En = E / d[:, None] / d[None, :]
+    En[np.arange(nc), np.arange(nc)] += ridge
+    Einv = None
+    if nc > 8192 and jax.default_backend() != "cpu":
+        try:
+            Einv = np.asarray(jnp.linalg.inv(jnp.asarray(En, jnp.float32)))
+        except Exception:
+            # XLA's blocked LU can exceed the scoped-vmem limit at large nc
+            # on some chips; the host path is slow but always works
+            Einv = None
+    if Einv is None:
+        Einv = np.linalg.inv(En)
+
+    return CoarseSpace(
+        V=jnp.asarray(V, dtype=dtype),
+        sd=jnp.asarray(sd.astype(np.int32)),
+        Einv=jnp.asarray(Einv, dtype=dtype),
+        dscale=jnp.asarray(1.0 / d, dtype=dtype),
+    )
+
+
+def coarse_apply(cs: CoarseSpace, params, v: jax.Array, n_own: int) -> jax.Array:
+    """q = Z E^{-1} Z^T v on the device (jittable).
+
+    ``params`` is the DDHParams of the owning DDH (for the trace layout).
+    """
+    from .ddh import _read_traces
+
+    nm = cs.V.shape[2]
+    nS = cs.Einv.shape[0] // (2 * nm)
+    n_lambda = v.shape[0] // 2
+    lam0, mu0 = _read_traces(params, v, n_lambda, n_own)  # (ndom, pf) masked
+    dt = cs.V.dtype
+    gl = jax.ops.segment_sum(
+        jnp.einsum("dkj,dk->dj", cs.V, lam0.astype(dt)), cs.sd, num_segments=nS
+    )
+    gm = jax.ops.segment_sum(
+        jnp.einsum("dkj,dk->dj", cs.V, mu0.astype(dt)), cs.sd, num_segments=nS
+    )
+    g = jnp.concatenate([gl.reshape(-1), gm.reshape(-1)]) * cs.dscale
+    h = (cs.Einv @ g) * cs.dscale
+    hl = h[: nS * nm].reshape(nS, nm)[cs.sd]  # (ndom, nm)
+    hm = h[nS * nm :].reshape(nS, nm)[cs.sd]
+    zl = jnp.einsum("dkj,dj->dk", cs.V, hl)
+    zm = jnp.einsum("dkj,dj->dk", cs.V, hm)
+    n_lost = n_lambda - n_own
+    tail = jnp.zeros(n_lost, dtype=v.dtype)
+    return jnp.concatenate(
+        [zl.reshape(-1).astype(v.dtype), tail, zm.reshape(-1).astype(v.dtype), tail]
+    )

@@ -451,6 +451,10 @@ class DDH:
         self._B1_np = B[:, :, 1].copy() if n_shared > 0 else np.full(
             (n_domains, mx_fdof), -1, np.int32
         )
+        self._B0_np = B[:, :, 0].copy() if n_shared > 0 else np.full(
+            (n_domains, mx_fdof), -1, np.int32
+        )
+        self._gI_np = gI  # host copy (device pulls sync the upload queue)
         self._Ha_np = np.ascontiguousarray(H_sub * a_sub, dtype=np.float64)
         self._mi_np = np.ascontiguousarray(inv_mi, dtype=np.float64)
         self._a2wf_np = np.ascontiguousarray(a2wf, dtype=np.float64)
@@ -465,6 +469,7 @@ class DDH:
         self.route_offs: tuple = ()
         self.route_perms: tuple = ()
         self.io: IOMaps | None = None
+        self.coarse_space = None  # two-level correction (solvers/coarse.py)
         self.transfer_stats: dict = {}
         self.io_stats: dict = {}
 
@@ -1134,7 +1139,42 @@ class DDH:
             precision=self.precision,
         )
 
-    def solver(self, m: int, maxit: int, tol: float, gmres_fn=None, vmapped: bool = False):
+    def make_coarse(
+        self, n_dir: int = 4, domains_per_super: int = 16, ridge: float = 1e-8
+    ):
+        """Build (and store) the two-level plane-wave coarse space.
+
+        Requires the transfer operator (``prepare``/``precompute_transfer``).
+        See ``solvers/coarse.py``; use via ``solver(..., coarse=...)`` or
+        ``coarse_correct``.  Beyond the reference (strictly one-level,
+        DDH.cpp:111-321).
+        """
+        from .coarse import build_coarse_space
+
+        self.coarse_space = build_coarse_space(
+            self,
+            n_dir=n_dir,
+            domains_per_super=domains_per_super,
+            ridge=ridge,
+            dtype=self.dtype,
+        )
+        return self.coarse_space
+
+    def coarse_correct(self, v: jax.Array) -> jax.Array:
+        """q = Z E^{-1} Z^T v: the coarse component of the correction."""
+        from .coarse import coarse_apply
+
+        return coarse_apply(self.coarse_space, self.params, v, self.n_own)
+
+    def solver(
+        self,
+        m: int,
+        maxit: int,
+        tol: float,
+        gmres_fn=None,
+        vmapped: bool = False,
+        coarse: str | None = None,
+    ):
         """Whole-solve jit (rhs -> lambda-GMRES -> postprocess) with the DDH
         device state passed as jit ARGUMENTS.
 
@@ -1155,7 +1195,11 @@ class DDH:
         T_cap = None
         if self.use_transfer and self.route is None and self._T_u is not None:
             T_cap = self.T
-        state = (self.params, T_cap, self.route, self.io)
+        if coarse and self.coarse_space is None:
+            raise ValueError("coarse solver requested but make_coarse() not run")
+        if coarse not in (None, "additive", "multiplicative"):
+            raise ValueError("coarse must be None, 'additive', or 'multiplicative'")
+        state = (self.params, T_cap, self.route, self.io, self.coarse_space)
 
         def run(b, st):
             # save/restore the RAW ``_T_dev`` slot: going through the ``T``
@@ -1163,10 +1207,26 @@ class DDH:
             # stack on the rolled/io paths that never need it (~70 s and
             # ~2.4 GB HBM at nx=512), defeating the T_cap guard above
             old = (self.params, self._T_dev, self.route, self.io)
-            self.params, self._T_dev, self.route, self.io = st
+            self.params, self._T_dev, self.route, self.io = st[:4]
             try:
                 Y = self.rhs(b)
-                out = gmres_fn(self.action, Y, m=m, maxit=maxit, tol=tol)
+                if coarse:
+                    from .coarse import coarse_apply
+                    from .gmres import fgmres
+
+                    cs = st[4]
+
+                    def P(v):
+                        q = coarse_apply(cs, self.params, v, self.n_own)
+                        if coarse == "multiplicative":
+                            # q + (I - A q) residual sweep: one extra action
+                            # per iteration, stronger correction
+                            return q + v - self.action(q)
+                        return v + q
+
+                    out = fgmres(self.action, Y, P, m=m, maxit=maxit, tol=tol)
+                else:
+                    out = gmres_fn(self.action, Y, m=m, maxit=maxit, tol=tol)
                 U = self.postprocess(out.x, b)
             finally:
                 self.params, self._T_dev, self.route, self.io = old

@@ -1,0 +1,151 @@
+"""Two-level DDH coarse space (solvers/coarse.py).
+
+Beyond-reference capability: the reference DDH is strictly one-level
+(``/root/reference/source/DDH.cpp:111-321``).  The Galerkin coarse matrix is
+assembled EXACTLY from the per-subdomain transfer stack (the own-slot B1
+scatter is collision-free), which these tests pin against a brute-force
+``Z^T A Z`` through the production action.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuddhelmholtz_tpu.mesh.mesh2d import Mesh2D
+from cuddhelmholtz_tpu.models.helmholtz import helmholtz_rhs
+from cuddhelmholtz_tpu.ops.functional import linear_functional
+from cuddhelmholtz_tpu.ops.mass import apply_diag_inv_mass, make_diag_inv_mass_op
+from cuddhelmholtz_tpu.solvers.coarse import (
+    build_coarse_space,
+    coarse_apply,
+    superdomain_labels,
+)
+from cuddhelmholtz_tpu.solvers.ddh import DDH
+from cuddhelmholtz_tpu.solvers.gmres import fgmres, gmres
+from cuddhelmholtz_tpu.spaces.h1 import H1Space
+from cuddhelmholtz_tpu.utils.basis import Basis
+
+RIDGE = 1e-8
+
+
+@pytest.fixture(scope="module")
+def coarse_setup():
+    # nx=8 keeps the CPU transfer precompute fast at the REAL time-step
+    # count (nt_override would break the leapfrog CFL limit -> NaN)
+    nx, deg = 8, 3
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+
+    def alpha(xy):
+        r = xy[..., 0] ** 2 + xy[..., 1] ** 2
+        return jnp.where(r < 0.0625, 0.2, 1.0)
+
+    b_a = linear_functional(fem, alpha)
+    mi = make_diag_inv_mass_op(fem)
+    a_nodal = np.asarray(apply_diag_inv_mass(mi, b_a))
+    ddh = DDH(omega, a_nodal, fem, nx=nx, ny=nx)
+    ddh.precompute_transfer()
+    cs = build_coarse_space(ddh, n_dir=2, domains_per_super=1, ridge=RIDGE)
+    return fem, omega, ddh, cs
+
+
+def _dense_Z(ddh, cs):
+    V = np.asarray(cs.V, np.float64)
+    sd = np.asarray(cs.sd)
+    nm = V.shape[2]
+    nS = cs.Einv.shape[0] // (2 * nm)
+    ndom, pf = V.shape[:2]
+    n_own, n_lambda = ddh.n_own, ddh.n_lambda
+    Z = np.zeros((2 * n_lambda, 2 * nS * nm))
+    for side in (0, 1):
+        for s in range(nS):
+            for j in range(nm):
+                col = side * nS * nm + s * nm + j
+                z = np.zeros((ndom, pf))
+                z[sd == s] = V[sd == s, :, j]
+                Z[side * n_lambda : side * n_lambda + n_own, col] = z.reshape(-1)
+    return Z
+
+
+def test_superdomain_labels_balanced():
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((64, 2))
+    lab = superdomain_labels(pts, 8)
+    counts = np.bincount(lab)
+    assert len(counts) == 8 and counts.min() == counts.max() == 8
+
+
+def test_coarse_matrix_matches_brute_force(coarse_setup):
+    """Assembled E == Z^T (I - U) Z computed through the production action."""
+    fem, omega, ddh, cs = coarse_setup
+    Z = _dense_Z(ddh, cs)
+    nc = Z.shape[1]
+    E_brute = np.zeros((nc, nc))
+    for J in range(nc):
+        w = np.asarray(ddh.action(jnp.asarray(Z[:, J], jnp.float32)), np.float64)
+        E_brute[:, J] = Z.T @ w
+    d = 1.0 / np.asarray(cs.dscale, np.float64)
+    En = np.linalg.inv(np.asarray(cs.Einv, np.float64))
+    En[np.arange(nc), np.arange(nc)] -= RIDGE
+    E_asm = En * d[:, None] * d[None, :]
+    err = np.abs(E_asm - E_brute).max() / np.abs(E_brute).max()
+    assert err < 1e-5, err  # fp32 transfer data; assembly itself is exact
+
+
+def test_coarse_apply_matches_dense(coarse_setup):
+    """Device coarse_apply == dense Z E^{-1} Z^T v."""
+    fem, omega, ddh, cs = coarse_setup
+    Z = _dense_Z(ddh, cs)
+    d = 1.0 / np.asarray(cs.dscale, np.float64)
+    Einv = np.asarray(cs.Einv, np.float64)
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(2 * ddh.n_lambda)
+    want = Z @ (((Einv @ (Z.T @ v / d)) / d))
+    got = np.asarray(coarse_apply(cs, ddh.params, jnp.asarray(v, jnp.float32), ddh.n_own))
+    err = np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-12)
+    assert err < 1e-4, err
+
+
+def test_two_level_solver_converges(coarse_setup):
+    """Both correction modes converge to the one-level solution, and the
+    solver() plumbing (coarse=...) produces the same trajectories."""
+    fem, omega, ddh, cs = coarse_setup
+
+    def f(xy):
+        r = (xy[..., 0] + 0.5) ** 2 + xy[..., 1] ** 2
+        return jnp.exp(-(omega**2) * r)
+
+    b = jnp.asarray(helmholtz_rhs(fem, f), jnp.float32)
+    Y = ddh.rhs(b)
+    out0 = gmres(ddh.action, Y, m=20, maxit=100, tol=1e-4)
+    assert bool(out0.success)
+    x0 = np.asarray(out0.x)
+
+    ddh.coarse_space = cs
+    for mode in ("additive", "multiplicative"):
+
+        def P(v, mode=mode):
+            q = coarse_apply(cs, ddh.params, v, ddh.n_own)
+            if mode == "multiplicative":
+                return q + v - ddh.action(q)
+            return v + q
+
+        out = fgmres(ddh.action, Y, P, m=20, maxit=100, tol=1e-4)
+        assert bool(out.success)
+        # same linear system: solutions agree to solver tolerance
+        rel = np.linalg.norm(np.asarray(out.x) - x0) / np.linalg.norm(x0)
+        assert rel < 5e-3, (mode, rel)
+        # the coarse correction must not significantly slow convergence
+        assert int(out.num_iter) <= int(out0.num_iter) + 3
+
+        solve = ddh.solver(20, 100, 1e-4, coarse=mode)
+        out_s, U = solve(b)
+        assert bool(out_s.success)
+        assert int(out_s.num_iter) == int(out.num_iter)
+
+    with pytest.raises(ValueError):
+        ddh.solver(20, 100, 1e-4, coarse="bogus")
+    ddh.coarse_space = None
+    with pytest.raises(ValueError):
+        ddh.solver(20, 100, 1e-4, coarse="additive")
