@@ -529,6 +529,52 @@ def run_ddh_multi_source(
     )
 
 
+def _make_matvec32(omega, a2, af, fem, fs, mesh, nx=None):
+    """fp32 coupled-Helmholtz matvec for the refinement inner solves.
+
+    On structured meshes the operator is rebuilt on a ``GridH1Space`` so
+    the 1D-factorised kron fast path applies (0.12 ms/stiffness vs 17.9 ms
+    for the full generic fp32 coupled matvec at nx=128), with cheap gather
+    permutations translating between the reference H1 numbering (which the
+    DDH and rhs use) and the grid numbering.  Falls back to the generic
+    element-batched operator on unstructured meshes.
+    """
+    a2_32 = np.asarray(a2, np.float32)
+    af_32 = np.asarray(af, np.float32)
+    if nx is None:
+        op32 = make_helmholtz_op(omega, a2_32, af_32, fem, fs, dtype=jnp.float32)
+        return lambda U: apply_helmholtz(op32, U)
+
+    from ..ops.structured import GridH1Space
+
+    gfem = GridH1Space(mesh, fem.basis, nx, nx)
+    # numbering permutations via the shared (el, i, j) node tables
+    g2h = np.zeros(gfem.ndof, np.int64)  # grid dof -> h1 dof (same node)
+    g2h[gfem.dofs.reshape(-1)] = fem.dofs.reshape(-1)
+    h2g = np.zeros(fem.ndof, np.int64)
+    h2g[fem.dofs.reshape(-1)] = gfem.dofs.reshape(-1)
+    fs_g = FaceSpace(gfem, mesh.boundary_edges)
+    # face coefficient remap: match face DOFs by shared global node
+    inv_fs = np.zeros(fem.ndof, np.int64)
+    inv_fs[np.asarray(fs.proj)] = np.arange(len(np.asarray(fs.proj)))
+    af_g = af_32[inv_fs[g2h[np.asarray(fs_g.proj)]]]
+    op32 = make_helmholtz_op(
+        omega, a2_32[g2h], af_g, gfem, fs_g, dtype=jnp.float32
+    )
+    g2h_j, h2g_j = jnp.asarray(g2h), jnp.asarray(h2g)
+    n = fem.ndof
+
+    def matvec32(U):
+        Ug = jnp.concatenate([U[:n][g2h_j], U[n:][g2h_j]])
+        # "highest": the default HIGH kron matmuls leave 2.6e-5 operator
+        # noise on this chip, stalling the inner Krylov near 1e-3 (see
+        # apply_helmholtz docstring)
+        Yg = apply_helmholtz(op32, Ug, kron_precision="highest")
+        return jnp.concatenate([Yg[:n][h2g_j], Yg[n:][h2g_j]])
+
+    return matvec32
+
+
 def run_helmholtz_ddh(
     nx: int = 128,
     deg: int = 3,
@@ -637,11 +683,9 @@ def run_helmholtz_ddh(
              "precompute": pstats, "refine": use_refine}
 
     if use_refine:
-        op32 = make_helmholtz_op(
-            omega, np.asarray(a2, np.float32), np.asarray(af, np.float32),
-            fem, fs, dtype=jnp.float32,
+        matvec32 = _make_matvec32(
+            omega, a2, af, fem, fs, mesh, nx if structured else None
         )
-        matvec32 = lambda U: apply_helmholtz(op32, U)
         matvec64 = jax.jit(lambda U: apply_helmholtz(op, U))
         inner = jax.jit(
             lambda r, tl: fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl)

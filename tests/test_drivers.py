@@ -206,3 +206,38 @@ def test_ddh_multi_source_batched(tmp_path):
     # per-source artifacts written
     assert (tmp_path / "ddh_src00.0000").exists()
     assert (tmp_path / "ddh_src01_8_3.txt").exists()
+
+
+def test_permuted_kron_matvec32_matches_generic():
+    """The refinement inner solves' structured fast path (kron operator on
+    grid numbering + permutation gathers) computes the same coupled
+    Helmholtz action as the generic element-batched fp32 operator."""
+    import jax.numpy as jnp
+
+    from cuddhelmholtz_tpu.examples.drivers import _make_matvec32, wave_speed_coeff
+    from cuddhelmholtz_tpu.mesh.mesh2d import Mesh2D
+    from cuddhelmholtz_tpu.models.helmholtz import (
+        apply_helmholtz,
+        make_helmholtz_op,
+        project_coefficients,
+    )
+    from cuddhelmholtz_tpu.spaces.h1 import FaceSpace, H1Space
+    from cuddhelmholtz_tpu.utils.basis import Basis
+
+    nx, deg = 12, 3
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(deg + 1))
+    fs = FaceSpace(fem, mesh.boundary_edges)
+    a2, af = project_coefficients(fem, fs, wave_speed_coeff, dtype=jnp.float64)
+    op = make_helmholtz_op(
+        omega, np.asarray(a2, np.float32), np.asarray(af, np.float32),
+        fem, fs, dtype=jnp.float32,
+    )
+    mv_fast = _make_matvec32(omega, a2, af, fem, fs, mesh, nx)
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal(2 * fem.ndof), jnp.float32)
+    y0 = np.asarray(apply_helmholtz(op, U))
+    y1 = np.asarray(mv_fast(U))
+    err = np.linalg.norm(y1 - y0) / np.linalg.norm(y0)
+    assert err < 1e-4, err
