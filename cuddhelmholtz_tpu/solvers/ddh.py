@@ -470,6 +470,8 @@ class DDH:
         self.route_perms: tuple = ()
         self.io: IOMaps | None = None
         self.coarse_space = None  # two-level correction (solvers/coarse.py)
+        self._coarse_meta: tuple | None = None
+        self._cache_dir: str | None = None
         self.transfer_stats: dict = {}
         self.io_stats: dict = {}
 
@@ -659,6 +661,13 @@ class DDH:
         if self.io is not None:
             for name in ("Pu", "Pv", "R", "Pul", "Pvl"):
                 data[name] = np.asarray(getattr(self.io, name))
+        if self.coarse_space is not None:
+            cs = self.coarse_space
+            data["coarse_V"] = np.asarray(cs.V)
+            data["coarse_sd"] = np.asarray(cs.sd)
+            data["coarse_Einv"] = np.asarray(cs.Einv)
+            data["coarse_dscale"] = np.asarray(cs.dscale)
+            data["coarse_meta"] = np.asarray(self._coarse_meta, dtype=np.float64)
         # pid-suffixed tmp name: two processes racing on the same config must
         # not interleave writes into one tmp file (os.replace stays atomic)
         tmp = f"{path}.tmp.{os.getpid()}.npz"
@@ -688,6 +697,14 @@ class DDH:
                     if "Pu" in z.files
                     else None
                 )
+                coarse_arrs = (
+                    {
+                        k: z[f"coarse_{k}"]
+                        for k in ("V", "sd", "Einv", "dscale", "meta")
+                    }
+                    if "coarse_V" in z.files
+                    else None
+                )
         except Exception:
             # truncated/corrupt cache entry (e.g. a crashed writer): treat as
             # a miss and drop the bad file so the next save replaces it
@@ -711,6 +728,16 @@ class DDH:
                 ),
                 **{k: jnp.asarray(v) for k, v in io_arrs.items()},
             )
+        if coarse_arrs is not None:
+            from .coarse import CoarseSpace
+
+            self.coarse_space = CoarseSpace(
+                V=jnp.asarray(coarse_arrs["V"]),
+                sd=jnp.asarray(coarse_arrs["sd"]),
+                Einv=jnp.asarray(coarse_arrs["Einv"]),
+                dscale=jnp.asarray(coarse_arrs["dscale"]),
+            )
+            self._coarse_meta = tuple(coarse_arrs["meta"].tolist())
         return True
 
     def prepare(
@@ -734,6 +761,7 @@ class DDH:
                 "CUDDH_CACHE_DIR",
                 os.path.join(os.path.expanduser("~"), ".cache", "cuddhelmholtz_tpu"),
             )
+        self._cache_dir = cache_dir or None  # make_coarse persists here too
         stats: dict = {"cache_hit": False, "cache_dir": cache_dir or None}
         t0 = _time.perf_counter()
         if cache_dir and self.try_load_precomputed(cache_dir):
@@ -1147,10 +1175,16 @@ class DDH:
         Requires the transfer operator (``prepare``/``precompute_transfer``).
         See ``solvers/coarse.py``; use via ``solver(..., coarse=...)`` or
         ``coarse_correct``.  Beyond the reference (strictly one-level,
-        DDH.cpp:111-321).
+        DDH.cpp:111-321).  The result is folded into the setup disk cache
+        (the coarse inverse can cost minutes at large nc): a matching
+        cached space loaded by ``prepare`` is returned directly, and a
+        freshly built one is persisted when ``prepare`` used a cache dir.
         """
         from .coarse import build_coarse_space
 
+        meta = (float(n_dir), float(domains_per_super), float(ridge))
+        if self.coarse_space is not None and getattr(self, "_coarse_meta", None) == meta:
+            return self.coarse_space
         self.coarse_space = build_coarse_space(
             self,
             n_dir=n_dir,
@@ -1158,6 +1192,9 @@ class DDH:
             ridge=ridge,
             dtype=self.dtype,
         )
+        self._coarse_meta = meta
+        if getattr(self, "_cache_dir", None):
+            self.save_precomputed(self._cache_dir)
         return self.coarse_space
 
     def coarse_correct(self, v: jax.Array) -> jax.Array:

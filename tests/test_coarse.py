@@ -149,3 +149,34 @@ def test_two_level_solver_converges(coarse_setup):
     ddh.coarse_space = None
     with pytest.raises(ValueError):
         ddh.solver(20, 100, 1e-4, coarse="additive")
+
+
+def test_coarse_space_cache_roundtrip(tmp_path):
+    """make_coarse results persist through the setup disk cache: a second
+    DDH with the same config loads the coarse space from disk
+    (bit-identical) and make_coarse with matching parameters returns it
+    without rebuilding."""
+    nx = 8
+    omega = 2 * np.pi * nx / 10
+    mesh = Mesh2D.uniform_rect(nx, -1, 1, nx, -1, 1)
+    fem = H1Space(mesh, Basis(4))
+    a = np.ones(fem.ndof)
+    cache = str(tmp_path)
+
+    ddh1 = DDH(omega, a, fem, nx=nx, ny=nx)
+    ddh1.prepare(cache_dir=cache, want_io=False)
+    cs1 = ddh1.make_coarse(n_dir=2, domains_per_super=1, ridge=RIDGE)
+
+    ddh2 = DDH(omega, a, fem, nx=nx, ny=nx)
+    stats = ddh2.prepare(cache_dir=cache, want_io=False)
+    assert stats["cache_hit"]
+    assert ddh2.coarse_space is not None
+    np.testing.assert_array_equal(
+        np.asarray(ddh2.coarse_space.Einv), np.asarray(cs1.Einv)
+    )
+    # matching parameters: returned without rebuilding (same object)
+    cs2 = ddh2.make_coarse(n_dir=2, domains_per_super=1, ridge=RIDGE)
+    assert cs2 is ddh2.coarse_space
+    # different parameters: rebuilt
+    cs3 = ddh2.make_coarse(n_dir=1, domains_per_super=1, ridge=RIDGE)
+    assert cs3.Einv.shape[0] < cs1.Einv.shape[0]
