@@ -722,10 +722,14 @@ class DDH:
             self.route, self.route_offs, self.route_perms = built
         if io_arrs is not None:
             nu = T_u.shape[0]
+            group, maj, spec = _iomaps_split(inv)
             self.io = IOMaps(
                 onehot=jnp.asarray(
                     (inv[None, :] == np.arange(nu)[:, None]).astype(np.float32)
                 ),
+                group=group,
+                maj=maj,
+                spec_idx=spec,
                 **{k: jnp.asarray(v) for k, v in io_arrs.items()},
             )
         if coarse_arrs is not None:
@@ -1122,6 +1126,7 @@ class DDH:
         Vf = jnp.take_along_axis(V[:base], jnp.broadcast_to(fs_u[None], bshape), axis=2)
         R = jnp.concatenate([a2wf_u[None] * Vf, a2wf_u[None] * Uf], axis=2)
         dt = self.dtype
+        group, maj, spec = _iomaps_split(inv)
         self.io = IOMaps(
             Pu=jnp.transpose(U[:base], (1, 2, 0)).astype(dt),
             Pv=jnp.transpose(V[:base], (1, 2, 0)).astype(dt),
@@ -1131,6 +1136,9 @@ class DDH:
             onehot=jnp.asarray(
                 (inv[None, :] == np.arange(nu)[:, None]).astype(np.float32)
             ),
+            group=group,
+            maj=maj,
+            spec_idx=spec,
         )
         return self.io
 
@@ -1308,17 +1316,60 @@ class IOMaps(NamedTuple):
     Pul: jax.Array  # (nu, pad, 2pf)  (lam0, mu0) -> u
     Pvl: jax.Array  # (nu, pad, 2pf)  (lam0, mu0) -> v/omega
     onehot: jax.Array  # (nu, ndom) group membership
+    # majority split (set when >= half the domains share one matrix): the
+    # group apply becomes one shared matmul + a gathered correction for the
+    # special domains -- memory O(nspec * out * in) instead of the one-hot
+    # path's O(nu * ndom * out) intermediate (8.4 GB at nx=1024/block16)
+    group: jax.Array | None = None  # (ndom,) int32 group of each domain
+    maj: jax.Array | None = None  # () int32 majority group id
+    spec_idx: jax.Array | None = None  # (nspec,) sorted special domains
 
 
-def _group_apply(M: jax.Array, x: jax.Array, onehot: jax.Array) -> jax.Array:
+def _iomaps_split(inv: np.ndarray):
+    """Majority-split metadata for ``_group_apply`` (None fields when no
+    group covers at least half the domains)."""
+    counts = np.bincount(inv)
+    maj = int(np.argmax(counts))
+    if counts[maj] < 0.5 * inv.size:
+        return None, None, None
+    spec = np.nonzero(inv != maj)[0].astype(np.int32)
+    return (
+        jnp.asarray(inv.astype(np.int32)),
+        jnp.asarray(np.int32(maj)),
+        jnp.asarray(spec),
+    )
+
+
+def _group_apply(
+    M: jax.Array,
+    x: jax.Array,
+    onehot: jax.Array,
+    group: jax.Array | None = None,
+    maj=None,
+    spec_idx: jax.Array | None = None,
+) -> jax.Array:
     """y[d] = M[group(d)] @ x[d].
 
-    Small nu (good dedup): one matmul per unique matrix then a one-hot
-    combine, avoiding a per-domain stack.  That costs nu*ndom*out*in, which
-    turns QUADRATIC in the domain count when dedup finds nothing
-    (heterogeneous media, nu ~ ndom); above nu > ndom/4 gather the
-    per-domain matrix instead (memory ~ M itself there) and run one batched
-    einsum."""
+    With majority metadata (uniform-ish partitions): one shared matmul for
+    every domain + a gathered per-matrix correction for the sorted special
+    rows.  Otherwise: small nu (good dedup) does one matmul per unique
+    matrix then a one-hot combine -- but that intermediate is
+    O(nu*ndom*out) and QUADRATIC in the domain count when dedup finds
+    nothing; above nu > ndom/4 gather the per-domain matrix instead
+    (memory ~ M itself there) and run one batched einsum."""
+    if spec_idx is not None:
+        M0 = jnp.take(M, maj, axis=0)  # dynamic single-matrix gather (tiny)
+        y = jnp.einsum("di,oi->do", x, M0, precision="highest")
+        if spec_idx.shape[0] > 0:
+            Mg = jnp.take(M, jnp.take(group, spec_idx), axis=0)
+            ys = jnp.einsum(
+                "soi,si->so", Mg, jnp.take(x, spec_idx, axis=0),
+                precision="highest",
+            )
+            y = y.at[spec_idx].set(
+                ys, unique_indices=True, indices_are_sorted=True
+            )
+        return y
     nu, ndom = onehot.shape
     if 4 * nu > ndom:
         group = jnp.argmax(onehot, axis=0)  # (ndom,) static one-hot layout
@@ -1848,7 +1899,7 @@ def ddh_rhs_io(
     F, G, _, _ = _forcing(params, f, None, g_ndof)
     pf = params.Hf.shape[1]
     x = jnp.concatenate([F, G], axis=1).astype(io.R.dtype)
-    w = _group_apply(io.R, x, io.onehot)
+    w = _group_apply(io.R, x, io.onehot, io.group, io.maj, io.spec_idx)
     return _b1_scatter(params, -w[:, :pf], w[:, pf:], n_lambda, x.dtype)
 
 
@@ -1869,6 +1920,7 @@ def ddh_postprocess_io(
     lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
     x = jnp.concatenate([F, G], axis=1).astype(io.Pu.dtype)
     tr = jnp.concatenate([lam0, mu0], axis=1).astype(io.Pu.dtype)
-    u = _group_apply(io.Pu, x, io.onehot) + _group_apply(io.Pul, tr, io.onehot)
-    v = _group_apply(io.Pv, x, io.onehot) + _group_apply(io.Pvl, tr, io.onehot)
+    ga = lambda M, z: _group_apply(M, z, io.onehot, io.group, io.maj, io.spec_idx)
+    u = ga(io.Pu, x) + ga(io.Pul, tr)
+    v = ga(io.Pv, x) + ga(io.Pvl, tr)
     return _scatter_solution(params, u, v, g_ndof)
