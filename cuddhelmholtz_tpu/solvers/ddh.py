@@ -1361,11 +1361,13 @@ def _group_apply(
         M0 = jnp.take(M, maj, axis=0)  # dynamic single-matrix gather (tiny)
         y = jnp.einsum("di,oi->do", x, M0, precision="highest")
         if spec_idx.shape[0] > 0:
-            Mg = jnp.take(M, jnp.take(group, spec_idx), axis=0)
-            ys = jnp.einsum(
-                "soi,si->so", Mg, jnp.take(x, spec_idx, axis=0),
-                precision="highest",
-            )
+            # recurse on the special subset: the same nu-vs-count heuristic
+            # then picks per-row gather (small nspec) or one-hot combine
+            # (small nu) -- never a per-ALL-domain matrix stack (the
+            # ungated gather held 4 x 535 MB live at nx=1024/block16)
+            xs = jnp.take(x, spec_idx, axis=0)
+            oh = jnp.take(onehot, spec_idx, axis=1)
+            ys = _group_apply(M, xs, oh)
             y = y.at[spec_idx].set(
                 ys, unique_indices=True, indices_are_sorted=True
             )
@@ -1547,7 +1549,9 @@ def _build_roll_route(
 
     route = RollRoute(
         A=A_full,
-        masks=jnp.asarray(masks),
+        # bf16: the masks are exact 0/1 and promote back to the data dtype
+        # at the multiply; fp32 storage was 406 MB at nx=1024/block16
+        masks=jnp.asarray(masks, jnp.bfloat16),
         irr_src=jnp.asarray(irr_src),
         irr_tgt=jnp.asarray(irr_tgt),
         A0=A0,

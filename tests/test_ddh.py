@@ -421,3 +421,33 @@ def test_ddh_precompute_cache_roundtrip(tmp_path):
     ddh3 = DDH(omega * 1.01, a_nodal, fem, nx=nx, ny=nx, block_size=8)
     assert ddh3.setup_cache_key() != ddh1.setup_cache_key()
     assert not ddh3.try_load_precomputed(cache)
+
+
+def test_group_apply_majority_split_matches_fallback():
+    """The majority-split group apply (one shared matmul + recursive
+    special-row correction) equals the one-hot/gather fallbacks and the
+    per-domain reference loop."""
+    from cuddhelmholtz_tpu.solvers.ddh import _group_apply, _iomaps_split
+
+    rng = np.random.default_rng(7)
+    nu, ndom, out_d, in_d = 5, 64, 8, 16
+    inv = np.zeros(ndom, dtype=np.int64)
+    inv[:12] = rng.integers(1, nu, 12)  # group 0 holds the majority
+    M = jnp.asarray(rng.standard_normal((nu, out_d, in_d)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((ndom, in_d)), jnp.float32)
+    onehot = jnp.asarray(
+        (inv[None, :] == np.arange(nu)[:, None]).astype(np.float32)
+    )
+    want = np.stack([np.asarray(M)[inv[d]] @ np.asarray(x)[d] for d in range(ndom)])
+
+    group, maj, spec = _iomaps_split(inv)
+    assert spec is not None and spec.shape[0] == 12
+    y_split = np.asarray(_group_apply(M, x, onehot, group, maj, spec))
+    y_fall = np.asarray(_group_apply(M, x, onehot))
+    np.testing.assert_allclose(y_split, want, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(y_fall, want, rtol=2e-5, atol=1e-5)
+
+    # no-majority partitions return None metadata (fallback path stays)
+    inv2 = np.arange(ndom) % nu
+    g2, m2, s2 = _iomaps_split(inv2)
+    assert g2 is None and m2 is None and s2 is None
