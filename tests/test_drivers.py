@@ -101,6 +101,14 @@ def test_helmholtz_ddh_composite_solve():
     assert res.success
     rel = res.res_norm[-1] / res.res_norm[0]
     assert rel < 1e-6 * 1.01
+    # mixed-precision refinement path: the res_norm history is the TRUE
+    # fp64 outer residual at refinement boundaries, and the driver records
+    # the refinement structure and the warm/compile timing split
+    assert res.extra["refine"] is True
+    assert 1 <= res.extra["refine_steps"] <= 6
+    assert len(res.res_norm) == res.extra["refine_steps"] + 1
+    assert "warm_seconds" in res.extra and "compile_seconds" in res.extra
+    assert len(res.extra["inner_histories"]) == res.extra["refine_steps"]
 
 
 def test_run_config_helmholtz_ddh_dispatch():
