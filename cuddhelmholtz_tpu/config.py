@@ -39,6 +39,9 @@ class ProblemConfig:
     # DDH.cpp:5; 32 cuts high-frequency iteration counts ~3.5x at nx=512,
     # docs/PERF.md)
     block_size: int = 16
+    # two-level coarse correction: None | "additive" | "multiplicative"
+    # (solvers/coarse.py; requires transfer=True)
+    coarse: str | None = None
 
     @property
     def omega(self) -> float:

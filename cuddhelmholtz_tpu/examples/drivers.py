@@ -168,7 +168,7 @@ def run_config(cfg, **overrides) -> DriverResult:
         return run_ddh(
             nx=cfg.nx, deg=cfg.deg, m=g.m, maxit=g.maxit, tol=g.tol,
             wh_maxit=cfg.wh_maxit, transfer=cfg.transfer,
-            block_size=cfg.block_size, **fwd,
+            block_size=cfg.block_size, coarse=cfg.coarse, **fwd,
         )
     if cfg.kind == "ddh_multi":
         return run_ddh_multi_source(
@@ -309,6 +309,9 @@ def run_ddh(
     transfer: bool = False,
     block_size: int = 16,
     measure_warm: bool = False,
+    coarse: str | None = None,
+    coarse_n_dir: int = 4,
+    coarse_domains_per_super: int = 16,
 ) -> DriverResult:
     """The DDH substructured-solver example (DDH.cpp:85-161).
 
@@ -318,6 +321,9 @@ def run_ddh(
     ``transfer=True`` precomputes the per-subdomain trace-transfer matrices
     (pays ~2*pf wave cycles up front; each GMRES matvec is then one small
     batched matmul -- the right trade above ~2*pf matvecs).
+    ``coarse="additive"|"multiplicative"`` (requires ``transfer``) enables
+    the two-level plane-wave coarse correction (``solvers/coarse.py``,
+    beyond the reference's strictly-one-level DDH).
     """
     omega = 2 * np.pi * nx / 10
     if mesh is None:
@@ -347,11 +353,17 @@ def run_ddh(
         # load-or-compute the transfer/io maps (disk-cached by config hash:
         # repeat runs skip every probe cycle and their compiles)
         pstats = ddh.prepare(want_io=_want_io_maps())
+    if coarse:
+        if not transfer:
+            raise ValueError("coarse correction requires transfer=True")
+        ddh.make_coarse(
+            n_dir=coarse_n_dir, domains_per_super=coarse_domains_per_super
+        )
     setup_s = time.perf_counter() - t_setup
 
     # state passed as jit arguments: closure constants break remote-compile
     # payload limits at large configs (nx=512)
-    solve = ddh.solver(m, maxit, tol)
+    solve = ddh.solver(m, maxit, tol, coarse=coarse)
 
     t0 = time.perf_counter()
     out, U = solve(b)

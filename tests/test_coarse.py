@@ -180,3 +180,17 @@ def test_coarse_space_cache_roundtrip(tmp_path):
     # different parameters: rebuilt
     cs3 = ddh2.make_coarse(n_dir=1, domains_per_super=1, ridge=RIDGE)
     assert cs3.Einv.shape[0] < cs1.Einv.shape[0]
+
+
+def test_run_ddh_coarse_option():
+    """The two-level correction is reachable through the example driver."""
+    from cuddhelmholtz_tpu.examples.drivers import run_ddh
+
+    r = run_ddh(nx=8, deg=3, m=20, maxit=100, tol=1e-4, transfer=True,
+                coarse="multiplicative", coarse_n_dir=2,
+                coarse_domains_per_super=1)
+    assert r.success
+    assert r.res_norm[-1] / r.res_norm[0] < 1e-4 * 1.01
+
+    with pytest.raises(ValueError):
+        run_ddh(nx=8, transfer=False, coarse="additive")
