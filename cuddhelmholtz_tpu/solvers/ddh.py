@@ -857,16 +857,9 @@ class DDH:
         # at the unstructured config)
         use_group = use_pallas and S_u.ndim == 3 and pad * pad * 12 < (1 << 24)
         if chunk is None:
-            if S_u.ndim == 3 and not use_group:
-                # XLA fallback tiles S across columns: every time step then
-                # reads c*nu dense (pad, pad) matrices, so bound that stack
-                # (~32 MB fp32) or the cycle turns HBM-bound
-                chunk = int(
-                    max(1, min(ncols, (1 << 23) // max(1, nu * pad * pad)))
-                )
-            else:
-                # bound the fp32 state rows to ~128 MB
-                chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
+            # bound the fp32 state rows to ~128 MB (the XLA per-domain path
+            # broadcasts the deduped S stack, so no S-stack-driven cap)
+            chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
         if use_group:
             from ..ops.pallas.wave_cycle import grouped_vmem_rows
 
@@ -903,7 +896,10 @@ class DDH:
                     p2 = p._replace(
                         Ha=jnp.tile(Ha_u, (c, 1)),
                         inv_mi=jnp.tile(mi_u, (c, 1)),
-                        S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
+                        # deduped S broadcasts over the c probe columns in
+                        # _apply_S (never tile: the (c*nu, pad, pad) stack
+                        # forced one-column chunks)
+                        S=S_u,
                     )
                     u, v = _wave_cycle(
                         p2,
@@ -1025,10 +1021,9 @@ class DDH:
         use_pallas = self._use_pallas()
         use_group = use_pallas and S_u.ndim == 3 and pad * pad * 12 < (1 << 24)
         if chunk is None:
-            if S_u.ndim == 3 and not use_group:
-                chunk = int(max(1, min(ncols, (1 << 23) // max(1, nu * pad * pad))))
-            else:
-                chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
+            # bound the fp32 state rows to ~128 MB (the XLA per-domain path
+            # broadcasts the deduped S stack, so no S-stack-driven cap)
+            chunk = int(max(1, min(ncols, (1 << 25) // max(1, nu * pad))))
         if use_group:
             from ..ops.pallas.wave_cycle import grouped_vmem_rows
 
@@ -1065,7 +1060,10 @@ class DDH:
                     p2 = p._replace(
                         Ha=jnp.tile(Ha_u, (c, 1)),
                         inv_mi=jnp.tile(mi_u, (c, 1)),
-                        S=S_u if S_u.ndim == 2 else jnp.tile(S_u, (c, 1, 1)),
+                        # deduped S broadcasts over the c probe columns in
+                        # _apply_S (never tile: the (c*nu, pad, pad) stack
+                        # forced one-column chunks)
+                        S=S_u,
                     )
                     u, v = _wave_cycle(
                         p2,
@@ -1565,7 +1563,17 @@ def _build_roll_route(
 
 
 def _apply_S(S: jax.Array, p: jax.Array, precision=PRECISION) -> jax.Array:
-    """z = S p batched over subdomains (S shared (pad,pad) or per-domain)."""
+    """z = S p batched over subdomains (S shared (pad,pad) or per-domain).
+
+    When ``p`` carries ``c`` probe columns per matrix (rows ordered
+    (c, nu, pad) flattened, as the precompute chunks build them), the
+    deduped (nu, pad, pad) stack is BROADCAST over the column axis: each
+    time step then reads S once and runs MXU-shaped (c, pad) x (pad, pad)
+    batched matmuls.  The old path tiled S to (c*nu, pad, pad), which
+    forced the memory cap down to one column per chunk and degenerated
+    into bandwidth-bound batch-1 matvecs (measured: the nu=256/pad=384
+    x64 probe run would have taken days).
+    """
     if S.ndim == 2:
         return jax.lax.dot_general(
             p,
@@ -1574,6 +1582,11 @@ def _apply_S(S: jax.Array, p: jax.Array, precision=PRECISION) -> jax.Array:
             preferred_element_type=p.dtype,
             precision=precision,
         )
+    if S.shape[0] != p.shape[0]:
+        c = p.shape[0] // S.shape[0]
+        pc = p.reshape(c, S.shape[0], p.shape[1])
+        z = jnp.einsum("cdj,dij->cdi", pc, S, precision=precision)
+        return z.reshape(p.shape)
     return jnp.einsum("dij,dj->di", S, p, precision=precision)
 
 
