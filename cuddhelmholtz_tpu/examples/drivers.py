@@ -699,9 +699,26 @@ def run_helmholtz_ddh(
             omega, a2, af, fem, fs, mesh, nx if structured else None
         )
         matvec64 = jax.jit(lambda U: apply_helmholtz(op, U))
-        inner = jax.jit(
-            lambda r, tl: fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl)
-        )
+
+        # DDH state passed as jit ARGUMENTS (the same pattern as
+        # DDH.solver): closing over the io maps embeds them as HLO
+        # constants, which breaks remote-compile payload limits at large
+        # unique-domain counts (HTTP 413 at nu=256, pad=384: ~300 MB)
+        T_cap = None
+        if ddh.use_transfer and ddh.route is None and ddh._T_u is not None:
+            T_cap = ddh.T
+        dstate = (ddh.params, T_cap, ddh.route, ddh.io)
+
+        def _inner_fn(r, tl, st):
+            old = (ddh.params, ddh._T_dev, ddh.route, ddh.io)
+            ddh.params, ddh._T_dev, ddh.route, ddh.io = st
+            try:
+                return fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl)
+            finally:
+                ddh.params, ddh._T_dev, ddh.route, ddh.io = old
+
+        _inner_jit = jax.jit(_inner_fn)
+        inner = lambda r, tl: _inner_jit(r, tl, dstate)
 
         def solve_once(bv):
             x = jnp.zeros(2 * fem.ndof, dtype=jnp.float64)
