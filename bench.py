@@ -143,7 +143,8 @@ def main():
     # short-circuit repeated same-argument dispatches (verify-skill note).
     # Materialize the perturbation BEFORE timing (its first eager dispatch
     # carries a remote compile).
-    b2 = b * (1.0 + jnp.float32(1e-6))
+    from cuddhelmholtz_tpu.examples.drivers import _perturb_eps
+    b2 = b * (1.0 + jnp.float32(_perturb_eps()))
     b2.block_until_ready()
     t0 = time.perf_counter()
     out, U = solve(b2)

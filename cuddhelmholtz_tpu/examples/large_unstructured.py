@@ -103,7 +103,8 @@ def run_case(name: str, mesh, n_domains: int, deg: int, omega: float,
     out, U = solve(bj)
     U.block_until_ready()
     first = time.perf_counter() - t0
-    b2 = bj * (1.0 + jnp.float32(1e-6))
+    from ..examples.drivers import _perturb_eps
+    b2 = bj * (1.0 + jnp.float32(_perturb_eps()))
     b2.block_until_ready()
     t0 = time.perf_counter()
     out, U = solve(b2)
