@@ -870,9 +870,13 @@ class DDH:
                 chunk = max(8, min((chunk // 8) * 8, vm_rows))
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
+        # the per-domain arrays MUST be jit ARGUMENTS, not closure constants:
+        # closed-over arrays are serialized into the HLO, and at scale (e.g.
+        # nu=1024, pad=384: the deduped S stack alone is ~600 MB) the
+        # remote-compile request exceeds the tunnel's body limit (HTTP 413)
         def make_run(grp):
             @jax.jit
-            def run_chunk(Fb, Gb):
+            def run_chunk(p, Ha_u, mi_u, S_u, fs_u, a2wf_u, Fb, Gb):
                 c = Fb.shape[0]
                 if grp:
                     from ..ops.pallas.wave_cycle import wave_cycle_pallas
@@ -939,7 +943,7 @@ class DDH:
             Fb, Gb = jnp.asarray(f_rows), jnp.asarray(g_rows)
             t0 = _time.perf_counter()
             try:
-                out = run_chunk(Fb, Gb)
+                out = run_chunk(p, Ha_u, mi_u, S_u, fs_u, a2wf_u, Fb, Gb)
                 out.block_until_ready()
             except Exception as e:
                 step = _vmem_fallback_step(e, use_group, chunk)
@@ -1034,9 +1038,11 @@ class DDH:
                 chunk = max(8, min((chunk // 8) * 8, vm_rows))
         wh_maxit, precision, omega = self.wh_maxit, self.precision, self.omega
 
+        # big arrays as jit ARGUMENTS, not closure constants (HLO payload
+        # limit over the remote-compile tunnel -- see precompute_transfer)
         def make_run(grp):
             @jax.jit
-            def run_chunk(Fb, Gb):
+            def run_chunk(p, Ha_u, mi_u, S_u, Fb, Gb):
                 c = Fb.shape[0]
                 if grp:
                     from ..ops.pallas.wave_cycle import wave_cycle_pallas
@@ -1094,7 +1100,7 @@ class DDH:
             gb[:c] = cols[k0 : k0 + c, 1]
             t0 = _time.perf_counter()
             try:
-                u, v = run_chunk(jnp.asarray(fb), jnp.asarray(gb))
+                u, v = run_chunk(p, Ha_u, mi_u, S_u, jnp.asarray(fb), jnp.asarray(gb))
                 u.block_until_ready()
             except Exception as e:
                 step = _vmem_fallback_step(e, use_group, chunk)

@@ -77,6 +77,50 @@ def test_kernel_admission_falls_back_to_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=2e-4, atol=1e-6)
 
 
+def test_probe_compile_payload_no_large_constants(monkeypatch):
+    """Probe-chunk jits must take the per-domain arrays as ARGUMENTS: a
+    closed-over S stack is serialized into the HLO as a dense constant and
+    blew the remote-compile tunnel's request-body limit at scale (HTTP 413
+    at nu=1024, pad=384 -- the L4 unstructured run, PERF.md r04).  Spy on
+    jax.jit and assert every traced probe program lowers to far less text
+    than the S stack itself would occupy as an embedded literal."""
+    import jax
+
+    from cuddhelmholtz_tpu.solvers import ddh as ddh_mod
+
+    mesh = load_unstructured_square()
+    labels, nd = coordinate_bisection_labels(mesh, 8)
+    fem = H1Space(mesh, Basis(4))
+    d = ddh_mod.DDH(
+        2 * np.pi * 0.8, np.ones(fem.ndof), fem,
+        element_labels=labels, n_domains=nd, nt_override=20,
+    )
+    assert d.params.S.ndim == 3  # per-domain stiffness: the dangerous case
+    s_bytes = int(np.prod(d.params.S.shape)) * 4
+
+    real_jit = jax.jit
+    sizes = []
+
+    def spy_jit(f=None, **kw):
+        if f is None:
+            return lambda g: spy_jit(g, **kw)
+        jf = real_jit(f, **kw)
+
+        def wrapped(*a, **k):
+            sizes.append(len(jf.lower(*a, **k).as_text()))
+            return jf(*a, **k)
+
+        return wrapped
+
+    monkeypatch.setattr(jax, "jit", spy_jit)
+    d.precompute_transfer()
+    d.precompute_io_maps()
+    assert sizes, "no probe jit was traced"
+    # an embedded S literal alone costs >= 2 text chars/byte; argument-passed
+    # state keeps the whole program orders of magnitude below that
+    assert max(sizes) < min(s_bytes, 1 << 20), (max(sizes), s_bytes)
+
+
 def test_precompute_vmem_fallback_ladder(monkeypatch):
     """A (simulated) Mosaic scoped-VMEM compile failure during the grouped
     transfer probes walks the ladder -- halve the chunk, then drop to the
