@@ -574,7 +574,11 @@ class DDH:
     def _domain_groups(self):
         """Identical-subdomain dedup: (unique indices, group of each domain,
         unique count).  Domains with bitwise-identical cycle data (S, Ha,
-        inv_mi, Hf, fslot, a2wf) have identical probe responses."""
+        inv_mi, Hf, fslot, a2wf) have identical probe responses.  Memoized:
+        transfer AND io precompute both need it, and the S probe is a device
+        matmul."""
+        if getattr(self, "_domain_groups_cache", None) is not None:
+            return self._domain_groups_cache
         p = self.params
         fslot, Hf = self._fslot_np, self._Hf_np
         pad = self.pad
@@ -591,14 +595,23 @@ class DDH:
             fslot.astype(np.float64),
         ]
         if p.S.ndim == 3:
+            # probe ON DEVICE and pull only the (ndom, 2 pad) response:
+            # np.asarray(p.S) dragged the full stack through the remote
+            # tunnel (604 MB = 36 s at the L4 config).  Identical domains
+            # still produce bitwise-identical probe rows (deterministic
+            # device matmul on identical inputs), which is all dedup needs.
             rng = np.random.default_rng(0)
-            probe = np.asarray(p.S) @ rng.standard_normal((pad, 2)).astype(np.float32)
+            R = jnp.asarray(rng.standard_normal((pad, 2)).astype(np.float32))
+            probe = np.asarray(
+                jnp.einsum("dij,jk->dik", p.S, R, precision="highest")
+            )
             parts.append(probe.reshape(ndom, -1))
         key = np.concatenate(
             [np.ascontiguousarray(x, dtype=np.float64) for x in parts], axis=1
         )
         _, uidx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
-        return uidx, inv.reshape(-1), len(uidx)
+        self._domain_groups_cache = (uidx, inv.reshape(-1), len(uidx))
+        return self._domain_groups_cache
 
     # ------------------------------------------------------- precompute cache
 
@@ -773,11 +786,14 @@ class DDH:
             stats["load_seconds"] = _time.perf_counter() - t0
             if self.io is None and want_io:
                 # older cache entry without io maps: compute + refresh it
+                # (when the maps stay ineligible -- size gate -- there is
+                # nothing new to persist, so skip the re-save)
                 t1 = _time.perf_counter()
-                self.precompute_io_maps(chunk=chunk)
+                io = self.precompute_io_maps(chunk=chunk)
                 stats["io_seconds"] = _time.perf_counter() - t1
                 stats.update(getattr(self, "io_stats", {}))
-                self.save_precomputed(cache_dir)
+                if io is not None:
+                    self.save_precomputed(cache_dir)
             return stats
         t1 = _time.perf_counter()
         T = self.precompute_transfer(chunk=chunk)
@@ -1708,8 +1724,32 @@ def _wave_cycle(
     params: DDHParams, F, G, wh_maxit: int, use_pallas: bool, precision=PRECISION
 ):
     if use_pallas:
-        from ..ops.pallas.wave_cycle import wave_cycle_pallas
+        from ..ops.pallas.wave_cycle import grouped_vmem_rows, wave_cycle_pallas
 
+        if params.S.ndim == 3 and params.S.shape[0] == F.shape[0]:
+            # per-row S stacks (the solve-path rhs/postprocess cycles on
+            # unstructured no-dedup partitions): the XLA scan re-streams the
+            # WHOLE stack from HBM every leapfrog step (604 MB x 12,830
+            # steps = 10.5 s/cycle at the L4 config, the HBM roofline).
+            # Tile each row x8 and run the grouped VMEM kernel instead --
+            # each grid block stages its one matrix into VMEM once and the
+            # 8x row padding is MXU compute the kernel has to spare
+            # (measured 10.5 s -> 1.0 s per cycle, PERF.md r04).
+            r = 8
+            if r <= grouped_vmem_rows(F.shape[1]):
+                pr = params._replace(
+                    Ha=jnp.repeat(params.Ha, r, axis=0),
+                    inv_mi=jnp.repeat(params.inv_mi, r, axis=0),
+                )
+                u, v = wave_cycle_pallas(
+                    pr,
+                    jnp.repeat(F, r, axis=0),
+                    jnp.repeat(G, r, axis=0),
+                    wh_maxit=wh_maxit,
+                    precision=precision,
+                    s_group_size=r,
+                )
+                return u[::r], v[::r]
         return wave_cycle_pallas(params, F, G, wh_maxit=wh_maxit, precision=precision)
     return _wave_cycle_xla(params, F, G, wh_maxit, precision)
 

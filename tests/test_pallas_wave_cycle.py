@@ -152,3 +152,36 @@ def test_interpret_blocking_and_padding(small_params):
     )
     np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a), rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_a), rtol=0, atol=1e-5)
+
+
+def test_wave_cycle_routes_per_row_stacks_to_grouped_kernel(
+    per_domain_params, monkeypatch
+):
+    """`_wave_cycle` with a per-ROW S stack (the solve-path rhs/postprocess
+    cycles on no-dedup unstructured partitions) must tile rows x8 and take
+    the grouped VMEM kernel, NOT the XLA scan that re-streams the whole S
+    stack from HBM every leapfrog step (10.5 s -> 1.6 s per cycle at the L4
+    config, PERF.md r04) -- and the result must match the XLA cycle."""
+    from cuddhelmholtz_tpu.ops.pallas import wave_cycle as wc
+    from cuddhelmholtz_tpu.solvers.ddh import _wave_cycle
+
+    params, F, G = per_domain_params
+    seen = {}
+    real = wc.wave_cycle_pallas
+
+    def spy(p, Fb, Gb, **kw):
+        seen["s_group_size"] = kw.get("s_group_size")
+        seen["rows"] = Fb.shape[0]
+        return real(p, Fb, Gb, **dict(kw, interpret=True))
+
+    monkeypatch.setattr(wc, "wave_cycle_pallas", spy)
+    u, v = _wave_cycle(params, F, G, 3, use_pallas=True)
+    assert seen["s_group_size"] == 8
+    assert seen["rows"] == 8 * F.shape[0]
+    assert u.shape == F.shape
+    u_x, v_x = _wave_cycle_xla(params, F, G, 3, precision="highest")
+    scale = float(jnp.abs(u_x).max())
+    assert float(jnp.abs(u - u_x).max()) / scale < 2e-4
+    assert float(jnp.abs(v - v_x).max()) / max(
+        float(jnp.abs(v_x).max()), 1e-30
+    ) < 2e-4
