@@ -306,7 +306,9 @@ def wave_cycle_pallas(
         functools.partial(_wave_kernel, nt, wh_maxit, prec, grouped),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            # zero32, not (0, 0): plain Python ints trace as i64 block
+            # indices under jax_enable_x64, which Mosaic cannot legalize
+            pl.BlockSpec((1, 2), lambda i: (zero32, zero32), memory_space=pltpu.SMEM),
             full(params.tables.shape),
             s_spec,
             row_spec,

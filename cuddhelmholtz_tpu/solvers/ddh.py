@@ -1307,12 +1307,11 @@ class DDH:
         import jax
 
         try:
-            # Mosaic cannot legalize the i64 scalars jax_enable_x64 injects
-            # into the kernel trace ("failed to legalize 'func.return'");
-            # fall back to the XLA scan cycle there (DDH itself stays fp32,
-            # only the rhs/postprocess cycles get slower)
-            if jax.config.jax_enable_x64:
-                return False
+            # works under jax_enable_x64 too: every block index in the
+            # kernel's specs is pinned to int32 (plain Python ints would
+            # trace as i64, which Mosaic cannot legalize -- the historical
+            # reason this returned False for x64 processes, at a 6.7x cost
+            # on every solve-path wave cycle)
             return jax.default_backend() == "tpu"
         except Exception:
             return False
