@@ -738,6 +738,7 @@ def run_helmholtz_ddh(
             r, rn = bv, bnrm
             outer_hist, inner_hists, tols = [rn], [], []
             iters = mvs = steps = 0
+            stagnated = False
             while rn > tol * bnrm and steps < max_refine:
                 # contract toward the target with 0.3 safety, but never
                 # deeper than 2e-5 per inner solve: fp32 FGMRES convergence
@@ -755,12 +756,16 @@ def run_helmholtz_ddh(
                 steps += 1
                 if rn_new >= 0.9 * rn:  # stagnation guard
                     rn = rn_new
+                    stagnated = rn > tol * bnrm
                     break
                 rn = rn_new
-            return x, outer_hist, inner_hists, tols, iters, mvs, steps, rn <= tol * bnrm
+            return (
+                x, outer_hist, inner_hists, tols, iters, mvs, steps,
+                rn <= tol * bnrm, stagnated,
+            )
 
         t0 = time.perf_counter()
-        x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once(b)
+        x, outer_hist, inner_hists, tols, iters, mvs, steps, ok, stag = solve_once(b)
         np.asarray(x)
         dt = time.perf_counter() - t0
         if measure_warm:
@@ -771,14 +776,19 @@ def run_helmholtz_ddh(
             b_w = b * (1.0 + _perturb_eps(1e-9))
             b_w.block_until_ready()
             t0 = time.perf_counter()
-            x, outer_hist, inner_hists, tols, iters, mvs, steps, ok = solve_once(b_w)
+            x, outer_hist, inner_hists, tols, iters, mvs, steps, ok, stag = solve_once(b_w)
             np.asarray(x)
             extra["warm_seconds"] = time.perf_counter() - t0
             extra["compile_seconds"] = dt - extra["warm_seconds"]
         U = np.asarray(x)
         res_hist = np.asarray(outer_hist)
+        # convergence contract: success=False alone cannot distinguish "hit
+        # max_refine" from "refinement stopped making progress" -- bench
+        # consumers and the README results table need the stagnation cause
+        # surfaced explicitly (VERDICT r04 #8)
         extra.update(
             refine_steps=steps,
+            stagnated=stag,
             inner_tols=tols,
             inner_histories=[h.tolist() for h in inner_hists],
         )
@@ -851,7 +861,7 @@ def main(argv=None):
     # warm/compile split and refinement structure, when the driver records
     # them (run_helmholtz_ddh): the warm number is the solve cost a user
     # pays on every solve after the first
-    for k in ("warm_seconds", "compile_seconds", "refine_steps", "setup_seconds"):
+    for k in ("warm_seconds", "compile_seconds", "refine_steps", "stagnated", "setup_seconds"):
         if k in res.extra:
             rec[k] = res.extra[k]
     print(json.dumps(rec))

@@ -31,6 +31,24 @@ The correction is used as a right preconditioner in FGMRES on the lambda
 system (``DDH.solver(coarse=...)``): additive ``v + Z E^{-1} Z^T v`` (one
 action per iteration) or multiplicative ``q + (v - A q)`` with
 ``q = Z E^{-1} Z^T v`` (two actions, stronger).
+
+Two coarse-solve backends:
+
+* **direct** (``CoarseSpace``): dense ``E`` assembled and inverted once.
+  Simple, but the dense inverse caps ``nc`` at ~8-18k on this chip (XLA's
+  blocked LU scoped-vmem-OOMs; host LAPACK needs minutes) -- far below the
+  ~2 DOFs/wavelength skeleton resolution (~1e5 unknowns at nx=512) that
+  r04's measurements showed a wave-capturing coarse space needs.
+* **iterative** (``SparseCoarseSpace``): ``E`` kept **block-sparse over the
+  superdomain adjacency graph**.  Plane-wave columns couple only
+  cmap-adjacent superdomains, so each (row-super, col-super) pair stores one
+  (2, 2, nm, nm) side-coupling block; the coarse solve is on-device GMRES
+  with a block-Jacobi (per-superdomain 2nm x 2nm) preconditioner.  Storage
+  and matvec are O(nS * degree * nm^2) -- skeleton-resolution spaces
+  (nc ~ 1e5-3e5) fit with room to spare, and the matvec is a single padded
+  gather + einsum (MXU-shaped).  Assembly uses the exact same per-domain
+  algebra as the dense path (it is exact, not approximate); only the
+  storage and the solve change.
 """
 
 from __future__ import annotations
@@ -94,15 +112,10 @@ def _mode_values(xy: np.ndarray, omega: float, n_dir: int) -> np.ndarray:
     return np.stack(out, axis=-1)
 
 
-def build_coarse_space(
-    ddh,
-    n_dir: int = 4,
-    domains_per_super: int = 16,
-    ridge: float = 1e-8,
-    dtype=jnp.float32,
-) -> CoarseSpace:
-    """Assemble the coarse space for a DDH whose transfer operator has been
-    precomputed (``ddh.prepare()`` / ``precompute_transfer``)."""
+def _coarse_ingredients(ddh, n_dir: int, domains_per_super: int):
+    """Shared setup for both coarse-space assemblies: mode columns ``V``,
+    superdomain labels ``sd``, the identity-folded per-domain transfer stack
+    ``A_u`` (grouped), and the dual-target superdomain table ``sdd``."""
     if ddh._T_u is None:
         raise ValueError("coarse space needs the transfer operator: run prepare()")
     fslot = ddh._fslot_np  # (ndom, pf)
@@ -118,7 +131,6 @@ def build_coarse_space(
     gdof = np.where(ok, np.take_along_axis(gI, np.maximum(fslot, 0), axis=1), 0)
     xy = coords[gdof]  # (ndom, pf, 2)
     V = _mode_values(xy, omega, n_dir) * ok[:, :, None]  # (ndom, pf, nm)
-    nm = V.shape[2]
 
     # superdomains from subdomain centroids (mean of valid slot coords)
     cnt = np.maximum(ok.sum(axis=1), 1)
@@ -126,7 +138,6 @@ def build_coarse_space(
     n_super = max(1, ndom // max(1, domains_per_super))
     sd = superdomain_labels(cen, n_super)
     nS = int(sd.max()) + 1
-    nc = 2 * nS * nm
 
     # identity-folded per-domain transfer stack (same fold as the roll
     # route): row i < pf gives y_l = -x_l - (T x)_l, else y_m = -x_m + (T x)_m
@@ -140,14 +151,32 @@ def build_coarse_space(
     A_u[:, np.arange(2 * pf), np.arange(2 * pf)] -= 1.0
     groups = ddh._T_groups
 
+    tgt_ok = (B1 >= 0) & (B1 < n_own)
+    dual_dom = np.where(tgt_ok, B1 // pf, 0)
+    sdd = sd[dual_dom]  # (ndom, pf) superdomain of each dual target
+    return V, sd, nS, A_u, groups, tgt_ok, sdd
+
+
+def build_coarse_space(
+    ddh,
+    n_dir: int = 4,
+    domains_per_super: int = 16,
+    ridge: float = 1e-8,
+    dtype=jnp.float32,
+) -> CoarseSpace:
+    """Assemble the coarse space for a DDH whose transfer operator has been
+    precomputed (``ddh.prepare()`` / ``precompute_transfer``)."""
+    V, sd, nS, A_u, groups, tgt_ok, sdd = _coarse_ingredients(
+        ddh, n_dir, domains_per_super
+    )
+    ndom, pf, nm = V.shape
+    nc = 2 * nS * nm
+
     # E = Z^T Z - Z^T U Z.  U's scatter (own-slot layout) is collision-free
     # -- every surviving B1 id is distinct -- so set == add and the Galerkin
     # matrix is exact.  Writes to the lost tail (B1 >= n_own) leave the
     # coarse space (Z is zero there): mask them out.
     E = np.zeros((nc, nc))
-    tgt_ok = (B1 >= 0) & (B1 < n_own)
-    dual_dom = np.where(tgt_ok, B1 // pf, 0)
-    sdd = sd[dual_dom]  # (ndom, pf) superdomain of each dual target
 
     # Z^T Z: block diagonal over (side, superdomain)
     VtV = np.einsum("dkj,dkl->djl", V, V)  # (ndom, nm, nm)
@@ -209,15 +238,145 @@ def build_coarse_space(
     )
 
 
-def coarse_apply(cs: CoarseSpace, params, v: jax.Array, n_own: int) -> jax.Array:
-    """q = Z E^{-1} Z^T v on the device (jittable).
+class SparseCoarseSpace(NamedTuple):
+    """Block-sparse coarse space solved iteratively on device.
 
-    ``params`` is the DDHParams of the owning DDH (for the trace layout).
+    Rows/columns are grouped (side t/s in {lambda, mu}, superdomain, mode);
+    only cmap-adjacent superdomain pairs carry a block.  ``nbr[r]`` lists the
+    column superdomains coupled to row superdomain ``r`` (-1 padded to the
+    max degree K); ``Eb[r, k]`` is the (2, 2, nm, nm) normalised coupling
+    block (already includes the diagonal ridge).  ``Pinv`` is the inverse of
+    each row's own (2nm, 2nm) diagonal block -- the block-Jacobi
+    preconditioner of the coarse GMRES.
     """
+
+    V: jax.Array  # (ndom, pf, nm) mode values at own trace slots (masked)
+    sd: jax.Array  # (ndom,) int32 superdomain label per subdomain
+    dscale: jax.Array  # (2, nS, nm) 1/sqrt(diag E) normalisation
+    nbr: jax.Array  # (nS, K) int32 neighbour superdomains (-1 pad)
+    Eb: jax.Array  # (nS, K, 2, 2, nm, nm) normalised blocks
+    Pinv: jax.Array  # (nS, 2nm, 2nm) block-Jacobi inverse
+
+
+def build_coarse_space_sparse(
+    ddh,
+    n_dir: int = 4,
+    domains_per_super: int = 4,
+    ridge: float = 1e-8,
+    dtype=jnp.float32,
+) -> SparseCoarseSpace:
+    """Assemble the block-sparse coarse space (same exact Galerkin algebra
+    as ``build_coarse_space``; only the storage changes).  Defaults target
+    skeleton-scale spaces -- the dense builder's nc cap does not apply."""
+    V, sd, nS, A_u, groups, tgt_ok, sdd = _coarse_ingredients(
+        ddh, n_dir, domains_per_super
+    )
+    ndom, pf, nm = V.shape
+
+    # (row-super, col-super) pair inventory: every diagonal pair (Z^T Z and
+    # ridge live there) plus each pair reached by a dual-trace target
+    diag_pids = np.arange(nS, dtype=np.int64) * nS + np.arange(nS)
+    off_pids = (sdd.astype(np.int64) * nS + sd[:, None])[tgt_ok]
+    pair_ids = np.unique(np.concatenate([diag_pids, off_pids]))
+    npair = len(pair_ids)
+    rows_p = (pair_ids // nS).astype(np.int64)
+    cols_p = (pair_ids % nS).astype(np.int64)
+    diag_pidx = np.searchsorted(pair_ids, diag_pids)
+    B = np.zeros((npair, 2, 2, nm, nm))
+
+    # Z^T Z: block diagonal over (side, superdomain)
+    VtV = np.einsum("dkj,dkl->djl", V, V)  # (ndom, nm, nm)
+    blocks = np.zeros((nS, nm, nm))
+    np.add.at(blocks, sd, VtV)
+    B[diag_pidx, 0, 0] += blocks
+    B[diag_pidx, 1, 1] += blocks
+
+    # minus Z^T U Z: identical contraction to the dense path, scattered to
+    # pair blocks.  Invalid (d, k) targets carry zero values; route them to
+    # the own diagonal pair so every scatter index is in-inventory.
+    own_diag = (sd.astype(np.int64) * nS + sd)[:, None]
+    pid_safe = np.where(tgt_ok, sdd.astype(np.int64) * nS + sd[:, None], own_diag)
+    pidx_all = np.searchsorted(pair_ids, pid_safe)  # (ndom, pf)
+    chunk = max(1, min(ndom, (1 << 27) // max(1, 4 * pf * pf * 8)))
+    for d0 in range(0, ndom, chunk):
+        d1 = min(ndom, d0 + chunk)
+        A_c = A_u[groups[d0:d1]]  # (c, 2pf, 2pf)
+        V_c = V[d0:d1]
+        m_c = tgt_ok[d0:d1]
+        pidx_c = pidx_all[d0:d1].reshape(-1)
+        for t in (0, 1):  # target side (lambda / mu rows)
+            for s in (0, 1):  # source side (lambda / mu columns)
+                Ab = A_c[:, t * pf : (t + 1) * pf, s * pf : (s + 1) * pf]
+                Y = np.einsum("dkc,dcj->dkj", Ab, V_c)  # (c, pf, nm)
+                vals = (V_c[:, :, :, None] * Y[:, :, None, :]) * m_c[
+                    :, :, None, None
+                ]  # (c, pf, nm, nm): [domain, slot, row mode j', col mode j]
+                np.add.at(B[:, t, s], pidx_c, -vals.reshape(-1, nm, nm))
+
+    # symmetric diagonal normalisation (same scaling as the dense path,
+    # reshaped (side, superdomain, mode)) + ridge on the diagonal
+    Dblk = B[diag_pidx]  # (nS, 2, 2, nm, nm)
+    dsq = np.stack(
+        [np.einsum("rjj->rj", Dblk[:, 0, 0]), np.einsum("rjj->rj", Dblk[:, 1, 1])]
+    )  # (2, nS, nm)
+    d = np.sqrt(np.abs(dsq))
+    d = np.where(d > 1e-12 * max(d.max(), 1.0), d, 1.0)
+    rfac = np.transpose(d[:, rows_p, :], (1, 0, 2))[:, :, None, :, None]
+    cfac = np.transpose(d[:, cols_p, :], (1, 0, 2))[:, None, :, None, :]
+    Bn = B / (rfac * cfac)
+    jdx = np.arange(nm)
+    for t in (0, 1):
+        Bn[diag_pidx[:, None], t, t, jdx[None, :], jdx[None, :]] += ridge
+
+    # block-Jacobi: per-superdomain (2nm, 2nm) diagonal block inverse
+    Dm = Bn[diag_pidx].transpose(0, 1, 3, 2, 4).reshape(nS, 2 * nm, 2 * nm)
+    Pinv = np.linalg.inv(Dm)
+
+    # padded neighbour layout: K = max superdomain degree (incl. self)
+    order = np.argsort(rows_p, kind="stable")
+    r_sorted = rows_p[order]
+    counts = np.bincount(r_sorted, minlength=nS)
+    K = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slots = np.arange(npair) - starts[r_sorted]
+    nbr = np.full((nS, K), -1, np.int32)
+    Eb = np.zeros((nS, K, 2, 2, nm, nm))
+    nbr[r_sorted, slots] = cols_p[order].astype(np.int32)
+    Eb[r_sorted, slots] = Bn[order]
+
+    return SparseCoarseSpace(
+        V=jnp.asarray(V, dtype=dtype),
+        sd=jnp.asarray(sd.astype(np.int32)),
+        dscale=jnp.asarray(1.0 / d, dtype=dtype),
+        nbr=jnp.asarray(nbr),
+        Eb=jnp.asarray(Eb, dtype=dtype),
+        Pinv=jnp.asarray(Pinv, dtype=dtype),
+    )
+
+
+def _sparse_coarse_matvec(cs: SparseCoarseSpace, h: jax.Array) -> jax.Array:
+    """y[t, r, j] = sum_{k, s, l} Eb[r, k, t, s, j, l] h[s, nbr[r, k], l]."""
+    hn = h[:, jnp.maximum(cs.nbr, 0)]  # (2, nS, K, nm)
+    hn = hn * (cs.nbr >= 0)[None, :, :, None].astype(h.dtype)
+    return jnp.einsum("rktsjl,srkl->trj", cs.Eb, hn, precision="high")
+
+
+def _sparse_coarse_pc(cs: SparseCoarseSpace, r: jax.Array) -> jax.Array:
+    """Block-Jacobi: z_r = Pinv_r r_r per superdomain, both sides stacked."""
+    nm = r.shape[2]
+    rr = jnp.concatenate([r[0], r[1]], axis=1)  # (nS, 2nm)
+    z = jnp.einsum("rij,rj->ri", cs.Pinv, rr, precision="high")
+    return jnp.stack([z[:, :nm], z[:, nm:]])
+
+
+def _restrict_scaled(cs, params, v, n_own):
+    """g = dscale * Z^T v as (2, nS, nm)."""
     from .ddh import _read_traces
 
-    nm = cs.V.shape[2]
-    nS = cs.Einv.shape[0] // (2 * nm)
+    nS = cs.dscale.shape[1] if isinstance(cs, SparseCoarseSpace) else None
+    if nS is None:
+        nm = cs.V.shape[2]
+        nS = cs.Einv.shape[0] // (2 * nm)
     n_lambda = v.shape[0] // 2
     lam0, mu0 = _read_traces(params, v, n_lambda, n_own)  # (ndom, pf) masked
     dt = cs.V.dtype
@@ -227,14 +386,63 @@ def coarse_apply(cs: CoarseSpace, params, v: jax.Array, n_own: int) -> jax.Array
     gm = jax.ops.segment_sum(
         jnp.einsum("dkj,dk->dj", cs.V, mu0.astype(dt)), cs.sd, num_segments=nS
     )
-    g = jnp.concatenate([gl.reshape(-1), gm.reshape(-1)]) * cs.dscale
-    h = (cs.Einv @ g) * cs.dscale
-    hl = h[: nS * nm].reshape(nS, nm)[cs.sd]  # (ndom, nm)
-    hm = h[nS * nm :].reshape(nS, nm)[cs.sd]
+    return jnp.stack([gl, gm])
+
+
+def _prolong_scaled(cs, h2, v_dtype, n_lambda, n_own):
+    """q = Z (dscale * h) from h as (2, nS, nm)."""
+    hl = h2[0][cs.sd]  # (ndom, nm)
+    hm = h2[1][cs.sd]
     zl = jnp.einsum("dkj,dj->dk", cs.V, hl)
     zm = jnp.einsum("dkj,dj->dk", cs.V, hm)
     n_lost = n_lambda - n_own
-    tail = jnp.zeros(n_lost, dtype=v.dtype)
+    tail = jnp.zeros(n_lost, dtype=v_dtype)
     return jnp.concatenate(
-        [zl.reshape(-1).astype(v.dtype), tail, zm.reshape(-1).astype(v.dtype), tail]
+        [zl.reshape(-1).astype(v_dtype), tail, zm.reshape(-1).astype(v_dtype), tail]
     )
+
+
+def coarse_apply(
+    cs,
+    params,
+    v: jax.Array,
+    n_own: int,
+    *,
+    solve_m: int = 40,
+    solve_maxit: int = 4,
+    solve_tol: float = 1e-3,
+) -> jax.Array:
+    """q = Z E^{-1} Z^T v on the device (jittable).
+
+    ``params`` is the DDHParams of the owning DDH (for the trace layout).
+    Dispatches on the space type: dense ``CoarseSpace`` applies the stored
+    inverse; ``SparseCoarseSpace`` runs block-Jacobi-preconditioned GMRES on
+    the block-sparse coarse matrix (``solve_*`` control that inner solve --
+    an approximate coarse solve is fine under the flexible outer FGMRES).
+    """
+    n_lambda = v.shape[0] // 2
+    g2 = _restrict_scaled(cs, params, v, n_own)
+    if isinstance(cs, SparseCoarseSpace):
+        from .gmres import gmres as _gmres
+
+        shape = g2.shape
+        g2 = g2 * cs.dscale
+
+        def mv(x):
+            return _sparse_coarse_matvec(cs, x.reshape(shape)).reshape(-1)
+
+        def pc(x):
+            return _sparse_coarse_pc(cs, x.reshape(shape)).reshape(-1)
+
+        out = _gmres(
+            mv, g2.reshape(-1), precond=pc, m=solve_m, maxit=solve_maxit,
+            tol=solve_tol,
+        )
+        h2 = out.x.reshape(shape) * cs.dscale
+    else:
+        nm = cs.V.shape[2]
+        nS = cs.Einv.shape[0] // (2 * nm)
+        g = jnp.concatenate([g2[0].reshape(-1), g2[1].reshape(-1)]) * cs.dscale
+        h = (cs.Einv @ g) * cs.dscale
+        h2 = jnp.stack([h[: nS * nm].reshape(nS, nm), h[nS * nm :].reshape(nS, nm)])
+    return _prolong_scaled(cs, h2, v.dtype, n_lambda, n_own)

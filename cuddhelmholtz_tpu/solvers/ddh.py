@@ -45,7 +45,10 @@ WH_MAXIT = 5  # fixed-point WaveHoltz iterations per apply (DDH.cpp:136)
 # Bump whenever the transfer/io precompute ALGEBRA or stored layout changes:
 # the disk cache key folds this in so stale maps are never reloaded under a
 # new algorithm (the problem-content part of the key cannot see code changes).
-_CACHE_FORMAT_VERSION = 2
+# v3: dedup-probe moved host-f32 -> device highest-precision einsum and the
+# x64 Pallas gate was removed; entries probed/grouped under the old numerics
+# must not be reloaded (ADVICE r04).
+_CACHE_FORMAT_VERSION = 3
 
 # Matmul passes for the wave-cycle stiffness apply.  The MXU multiplies in
 # bf16; "default" (1 pass) leaves a ~1e-3 relative noise floor after the
@@ -928,6 +931,10 @@ class DDH:
                         wh_maxit,
                         use_pallas,
                         precision,
+                        # the caller's ladder owns the grouped-kernel decision:
+                        # a c==1 chunk must not re-enter the grouped Pallas
+                        # path that just failed to compile (ADVICE r04)
+                        allow_group=False,
                     )
                     u = u.reshape(c, nu, pad)
                     v = v.reshape(c, nu, pad) / omega
@@ -1094,6 +1101,9 @@ class DDH:
                         wh_maxit,
                         use_pallas,
                         precision,
+                        # see precompute_transfer: dropped grouped path must
+                        # not be re-entered via the per-row c==1 branch
+                        allow_group=False,
                     )
                     u = u.reshape(c, nu, pad)
                     v = v.reshape(c, nu, pad)
@@ -1720,12 +1730,18 @@ def _wave_cycle_xla(
 
 
 def _wave_cycle(
-    params: DDHParams, F, G, wh_maxit: int, use_pallas: bool, precision=PRECISION
+    params: DDHParams,
+    F,
+    G,
+    wh_maxit: int,
+    use_pallas: bool,
+    precision=PRECISION,
+    allow_group: bool = True,
 ):
     if use_pallas:
         from ..ops.pallas.wave_cycle import grouped_vmem_rows, wave_cycle_pallas
 
-        if params.S.ndim == 3 and params.S.shape[0] == F.shape[0]:
+        if allow_group and params.S.ndim == 3 and params.S.shape[0] == F.shape[0]:
             # per-row S stacks (the solve-path rhs/postprocess cycles on
             # unstructured no-dedup partitions): the XLA scan re-streams the
             # WHOLE stack from HBM every leapfrog step (604 MB x 12,830

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils import linalg
+
 # Precision for the (m+1, n) orthogonalisation/update matvecs.  The package
 # default is "highest" (6-pass bf16 emulation), which these matrix-vector
 # contractions do not need: XLA's matvec path accumulates in fp32 at every
@@ -115,7 +117,7 @@ def _arnoldi_step(matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth=True, vin
             h = h + h2
         if static_k:
             h = jnp.concatenate([h, jnp.zeros(m1 - k - 1, dtype)])
-        hk1 = jnp.linalg.norm(w)
+        hk1 = linalg.norm(w)
         breakdown = hk1 == 0.0
         vnew = jnp.where(breakdown, w, w / jnp.where(breakdown, 1.0, hk1))
         # rotate the new Hessenberg column by the accumulated rotations
@@ -191,9 +193,9 @@ def gmres(
         x0 = jnp.zeros(n, dtype=dtype)
 
     tol = jnp.asarray(tol, dtype=dtype)
-    bnrm = jnp.linalg.norm(b)
+    bnrm = linalg.norm(b)
     r0 = b - inner_matvec(x0)
-    r0_nrm = jnp.linalg.norm(r0)
+    r0_nrm = linalg.norm(r0)
     hist0 = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[0].set(r0_nrm)
     tol_bnrm = tol * bnrm
 
@@ -227,7 +229,7 @@ def gmres(
         x = x + _mv(V[:m].T, y)
         r = b - inner_matvec(x)
         nmv = nmv + 1
-        r_nrm = jnp.linalg.norm(r)
+        r_nrm = linalg.norm(r)
         it = it + 1
         hist = hist.at[it].set(r_nrm)
         return x, r, r_nrm, it, nmv, hist
@@ -281,9 +283,9 @@ def lgmres(
         x0 = jnp.zeros(n, dtype=dtype)
 
     tol = jnp.asarray(tol, dtype=dtype)
-    bnrm = jnp.linalg.norm(b)
+    bnrm = linalg.norm(b)
     r0 = b - inner_matvec(x0)
-    r0_nrm = jnp.linalg.norm(r0)
+    r0_nrm = linalg.norm(r0)
     hist0 = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[0].set(r0_nrm)
     tol_bnrm = tol * bnrm
 
@@ -327,11 +329,11 @@ def lgmres(
         x = x + dx
         r = b - inner_matvec(x)
         nmv = nmv + 1
-        r_nrm = jnp.linalg.norm(r)
+        r_nrm = linalg.norm(r)
         it = it + 1
         hist = hist.at[it].set(r_nrm)
         if k > 0:
-            dxn = jnp.linalg.norm(dx)
+            dxn = linalg.norm(dx)
             znew = jnp.where(dxn > 0.0, dx / jnp.where(dxn > 0.0, dxn, 1.0), Z[0] * 0.0)
             Z = jnp.roll(Z, 1, axis=0).at[0].set(znew)
             kv = jnp.minimum(kv + jnp.where(dxn > 0.0, 1, 0), k)
@@ -377,9 +379,9 @@ def fgmres(
         x0 = jnp.zeros(n, dtype=dtype)
 
     tol = jnp.asarray(tol, dtype=dtype)
-    bnrm = jnp.linalg.norm(b)
+    bnrm = linalg.norm(b)
     r0 = b - matvec(x0)
-    r0_nrm = jnp.linalg.norm(r0)
+    r0_nrm = linalg.norm(r0)
     hist0 = jnp.full(maxit + 1, jnp.nan, dtype=dtype).at[0].set(r0_nrm)
     tol_bnrm = tol * bnrm
 
@@ -410,7 +412,7 @@ def fgmres(
         x = x + _mv(Zs.T, y)
         r = b - matvec(x)
         nmv = nmv + 1
-        r_nrm = jnp.linalg.norm(r)
+        r_nrm = linalg.norm(r)
         it = it + 1
         hist = hist.at[it].set(r_nrm)
         return x, r, r_nrm, it, nmv, hist
@@ -462,7 +464,7 @@ def gmres_host(
         x0 = jnp.zeros(n, dtype=dtype)
 
     tol = jnp.asarray(tol, dtype=dtype)
-    bnrm = jnp.linalg.norm(b)
+    bnrm = linalg.norm(b)
     tol_bnrm = float(tol * bnrm)
     m1 = m + 1
 
@@ -489,11 +491,11 @@ def gmres_host(
         y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
         x = x + _mv(V[:m].T, y)
         r = b - inner(x)
-        return x, r, jnp.linalg.norm(r), nmv + 1
+        return x, r, linalg.norm(r), nmv + 1
 
     r = b - inner(x0)
     x = x0
-    r_nrm = float(jnp.linalg.norm(r))
+    r_nrm = float(linalg.norm(r))
     hist = [r_nrm]
     times = [0.0]
     nmv_total = 1

@@ -5,7 +5,8 @@ copy, scal, fill, zeros, ones).  On TPU these are trivial fused XLA
 expressions rather than hand-written reduction kernels (the reference uses a
 tree-reduce + atomicAdd CUDA kernel for ``dot``, ``linalg.cpp:6-47``); they
 exist as named functions so solver code reads like the reference and so the
-sharded variants (psum reductions) have one place to hook.
+sharded variants (psum reductions) have one place to hook: ``solvers/gmres``
+routes every Arnoldi/residual norm through :func:`norm`.
 
 All functions are pure: "in-place" reference semantics (y <- a x + b y)
 become return values.

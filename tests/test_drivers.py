@@ -111,6 +111,25 @@ def test_helmholtz_ddh_composite_solve():
     assert len(res.extra["inner_histories"]) == res.extra["refine_steps"]
 
 
+def test_helmholtz_ddh_stagnation_contract():
+    """Forcing an unreachable tolerance (below the fp32 inner-solve floor)
+    trips the refinement stagnation guard: the record must say so explicitly
+    (success=False, stagnated=True) with a well-formed history, instead of
+    failing silently inside bench extras (VERDICT r04 #8)."""
+    from cuddhelmholtz_tpu.examples.drivers import run_helmholtz_ddh
+
+    res = run_helmholtz_ddh(nx=8, deg=3, m=10, maxit=30, tol=1e-16,
+                            inner_maxit=2, wh_maxit=2, transfer=True,
+                            measure_warm=False)
+    assert not res.success
+    assert res.extra["stagnated"] is True
+    # the history stays auditable: one TRUE fp64 residual per refine step
+    assert len(res.res_norm) == res.extra["refine_steps"] + 1
+    assert len(res.extra["inner_histories"]) == res.extra["refine_steps"]
+    # it stagnated near the fp32 floor, not at the initial residual
+    assert res.res_norm[-1] / res.res_norm[0] < 1e-4
+
+
 def test_run_config_helmholtz_ddh_dispatch():
     """The composite solve is reachable through the named-config CLI path."""
     from cuddhelmholtz_tpu.config import BASELINE_CONFIGS
