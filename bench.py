@@ -187,11 +187,12 @@ def main():
         f"{cyc_nnz_s:.3e} nnz/s, {cyc_flops/cyc_secs/1e12:.1f} TFLOP/s dense"
     )
 
-    # ---- BASELINE configs 4 + composite (driver-captured artifacts) -------
+    # ---- BASELINE regression matrix: EVERY named config (VERDICT r04 #2) --
     # The BASELINE target metric is "GMRES iters-to-1e-6 on the unstructured
-    # square"; record it (and the reference config-4 lambda solve) from the
-    # real drivers every round so it is a TPU-measured artifact, not only a
-    # CPU test.  Failures here must never kill the headline metric.
+    # square"; record it AND every other named config in config.py from the
+    # real drivers every round, with warm/compile splits, so a regression in
+    # any recorded path is visible in the bench artifact.  Failures here
+    # must never kill the headline metric.
     baseline_extras = {}
     if not os.environ.get("BENCH_SKIP_CONFIGS"):
         import subprocess
@@ -210,35 +211,44 @@ def main():
                 "total_seconds": time.perf_counter() - t0,
                 "final_rel_res": float(r.res_norm[-1] / r.res_norm[0]),
             }
-            for k in ("warm_seconds", "compile_seconds"):
+            for k in ("warm_seconds", "compile_seconds", "stagnated"):
                 if k in r.extra:
                     baseline_extras[name][k] = r.extra[k]
             log(f"{name}: {baseline_extras[name]}")
 
-        try:
-            t0 = time.perf_counter()
-            record(
-                "ddh_unstructured_square",
-                run_config(by_name["ddh_unstructured_square"], measure_warm=True),
-                t0,
-            )
-        except Exception as e:  # pragma: no cover - diagnostics only
-            baseline_extras["ddh_unstructured_square"] = {"error": repr(e)[:200]}
-            log(f"ddh_unstructured_square FAILED: {e!r}")
+        def run_and_record(name, overrides=None, note=None, **fwd):
+            try:
+                t0 = time.perf_counter()
+                r = run_config(by_name[name], **(overrides or {}), **fwd)
+                record(name, r, t0)
+                if note:
+                    baseline_extras[name]["note"] = note
+                return r
+            except Exception as e:  # pragma: no cover - diagnostics only
+                baseline_extras[name] = {"error": repr(e)[:200]}
+                log(f"{name} FAILED: {e!r}")
+                return None
 
+        # reference config 4 (the BASELINE target mesh)
+        run_and_record("ddh_unstructured_square", measure_warm=True)
+        # the headline config as a NAMED row (same solve as the metric above,
+        # re-run through the driver path so the row regression-tracks the
+        # driver, not only the inlined bench loop)
+        run_and_record("ddh_structured", measure_warm=True)
+        # the literal BASELINE high-frequency config (nx=256)
+        run_and_record("ddh_high_frequency", measure_warm=True)
         # the flagship SCALE claim (nx=512, block-32 subdomains, 2.4M DOF)
-        # is regression-tracked like the flagship speed claim: warm numbers
-        # (disk-cached maps); failures never kill the headline metric
-        try:
-            t0 = time.perf_counter()
-            record(
-                "ddh_512_block32",
-                run_config(by_name["ddh_512_block32"], measure_warm=True),
-                t0,
-            )
-        except Exception as e:  # pragma: no cover - diagnostics only
-            baseline_extras["ddh_512_block32"] = {"error": repr(e)[:200]}
-            log(f"ddh_512_block32 FAILED: {e!r}")
+        run_and_record("ddh_512_block32", measure_warm=True)
+        # reduced-budget unpreconditioned run: records the stagnation level
+        # reached in 10 restarts of GMRES(200).  The full 4,000 s budget run
+        # stays a one-time artifact (docs/artifacts); success=False here is
+        # the EXPECTED result being pinned, not a failure.
+        run_and_record(
+            "helmholtz_unpreconditioned",
+            overrides={"maxit": 10},
+            note="reduced budget maxit=10; records stagnation level "
+                 "(full-budget artifact: docs/artifacts)",
+        )
 
         # batched multi-source throughput: K sources in ONE vmapped solve,
         # reported as warm sources/s and speedup vs K sequential warm
@@ -264,10 +274,14 @@ def main():
             baseline_extras["ddh_multi_source_8"] = {"error": repr(e)[:200]}
             log(f"ddh_multi_source_8 FAILED: {e!r}")
 
-        # the composite 1e-6 solves run fp64 OUTER FGMRES: x64 is a
-        # process-global flag decided at import, so run them in a
-        # subprocess with CUDDH_X64=1 (this process stays fp32/Pallas)
-        for name in ("helmholtz_ddh_1e6", "helmholtz_ddh_unstructured_1e6"):
+        # poisson (reference fp64 driver) and the composite 1e-6 solves run
+        # fp64: x64 is a process-global flag decided at import, so run them
+        # in a subprocess with CUDDH_X64=1 (this process stays fp32/Pallas)
+        for name in (
+            "poisson_structured",
+            "helmholtz_ddh_1e6",
+            "helmholtz_ddh_unstructured_1e6",
+        ):
             p = None
             try:
                 t0 = time.perf_counter()
@@ -285,6 +299,32 @@ def main():
                 tail = p.stderr[-300:] if p is not None and p.stderr else ""
                 baseline_extras[name] = {"error": repr(e)[:200], "stderr": tail}
                 log(f"{name} FAILED: {e!r} {tail}")
+
+    # ---- weak-scaling protocol artifact (VERDICT r04 #6) ------------------
+    # CPU-mesh + 2-process Gloo demonstrations of the sharded path, written
+    # to SCALING.json next to the bench artifact each round.  CPU numbers
+    # are not hardware-representative; the artifact keeps the protocol
+    # demonstrably runnable and its efficiency shape visible.
+    scaling_summary = None
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        try:
+            from cuddhelmholtz_tpu.examples.scaling import capture_scaling
+
+            out_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+            )
+            t0 = time.perf_counter()
+            s = capture_scaling(out_path)
+            scaling_summary = {
+                "artifact": "SCALING.json",
+                "seconds": time.perf_counter() - t0,
+                "weak_efficiency_8dev_cpu": s.get("weak_efficiency_8dev"),
+                "gloo_2proc_ok": s.get("gloo_2proc", {}).get("ok"),
+            }
+            log(f"scaling: {scaling_summary}")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            scaling_summary = {"error": repr(e)[:200]}
+            log(f"scaling FAILED: {e!r}")
 
     print(
         json.dumps(
@@ -309,6 +349,7 @@ def main():
                     "wave_cycle_dense_tflops": cyc_flops / cyc_secs / 1e12,
                     "precompute": pstats,
                     "baseline_configs": baseline_extras,
+                    "scaling": scaling_summary,
                 },
             }
         )

@@ -324,6 +324,7 @@ def run_ddh(
     coarse: str | None = None,
     coarse_n_dir: int = 4,
     coarse_domains_per_super: int = 16,
+    coarse_method: str = "direct",
 ) -> DriverResult:
     """The DDH substructured-solver example (DDH.cpp:85-161).
 
@@ -369,7 +370,8 @@ def run_ddh(
         if not transfer:
             raise ValueError("coarse correction requires transfer=True")
         ddh.make_coarse(
-            n_dir=coarse_n_dir, domains_per_super=coarse_domains_per_super
+            n_dir=coarse_n_dir, domains_per_super=coarse_domains_per_super,
+            method=coarse_method,
         )
     setup_s = time.perf_counter() - t_setup
 

@@ -42,7 +42,8 @@ def median_h(mesh) -> float:
 
 
 def run_case(name: str, mesh, n_domains: int, deg: int, omega: float,
-             tol: float, composite: bool) -> dict:
+             tol: float, composite: bool, coarse: str | None = None,
+             coarse_n_dir: int = 4, coarse_dps: int = 4) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +98,20 @@ def run_case(name: str, mesh, n_domains: int, deg: int, omega: float,
         f"nu={rec['transfer_nu']} routes={rec['roll_routes']} "
         f"hit={pstats.get('cache_hit')}")
 
-    solve = ddh.solver(20, 100, tol)
+    if coarse:
+        t0 = time.perf_counter()
+        cs = ddh.make_coarse(
+            n_dir=coarse_n_dir, domains_per_super=coarse_dps,
+            method="iterative", solve_m=20, solve_maxit=2, solve_tol=3e-2,
+        )
+        rec["coarse"] = {
+            "mode": coarse, "n_dir": coarse_n_dir, "dps": coarse_dps,
+            "nc": int(2 * cs.nbr.shape[0] * cs.V.shape[2]),
+            "build_seconds": time.perf_counter() - t0,
+        }
+        log(f"[{name}] coarse space: {rec['coarse']}")
+
+    solve = ddh.solver(20, 100, tol, coarse=coarse)
     bj = jnp.asarray(b, jnp.float32)
     t0 = time.perf_counter()
     out, U = solve(bj)
@@ -149,6 +163,14 @@ def main(argv=None):
     ap.add_argument("--deg", type=int, default=3)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--elems-per-wavelength", type=float, default=5.0)
+    ap.add_argument("--omega-scale", type=float, default=1.0,
+                    help="multiply omega (frequency-stress axis: x2 halves "
+                         "elements per wavelength)")
+    ap.add_argument("--coarse", default=None,
+                    choices=["additive", "multiplicative"],
+                    help="two-level correction (iterative block-sparse space)")
+    ap.add_argument("--coarse-n-dir", type=int, default=4)
+    ap.add_argument("--coarse-dps", type=int, default=4)
     ap.add_argument("--composite", action="store_true",
                     help="also run the coupled 1e-6 solve (needs CUDDH_X64=1)")
     ap.add_argument("--control", action="store_true",
@@ -161,10 +183,16 @@ def main(argv=None):
 
     mesh = refine_quad_mesh(load_unstructured_square(), args.levels)
     h = median_h(mesh)
-    omega = 2 * np.pi / (args.elems_per_wavelength * h)
+    omega = args.omega_scale * 2 * np.pi / (args.elems_per_wavelength * h)
+    tag = f"unstructured_L{args.levels}"
+    if args.omega_scale != 1.0:
+        tag += f"_w{args.omega_scale:g}"
+    if args.coarse:
+        tag += f"_coarse_{args.coarse[:4]}"
     recs = [run_case(
-        f"unstructured_L{args.levels}", mesh, args.domains, args.deg, omega,
-        args.tol, args.composite,
+        tag, mesh, args.domains, args.deg, omega,
+        args.tol, args.composite, coarse=args.coarse,
+        coarse_n_dir=args.coarse_n_dir, coarse_dps=args.coarse_dps,
     )]
 
     if args.control:

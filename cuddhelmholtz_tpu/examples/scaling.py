@@ -185,6 +185,64 @@ def scaling(
     return records
 
 
+def capture_scaling(out_path: str, base_nx: int = 16, timeout: float = 900.0) -> dict:
+    """Run the weak-scaling protocol as a per-round artifact (VERDICT r04 #6).
+
+    Two demonstrations, both CPU (not hardware-representative -- recorded so
+    the sharded path's efficiency SHAPE is visible round over round and the
+    BASELINE protocol is demonstrably runnable):
+
+    * the 8-device simulated CPU mesh, weak mode, ``--transfer``;
+    * the 2-process Gloo-wired hybrid ``(dcn, ici)`` mesh (2 devices each).
+
+    Both run in subprocesses (backend isolation from a TPU-owning caller).
+    Writes ``out_path`` and returns a summary dict.
+    """
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    result: dict = {"protocol": "weak", "transfer": True, "base_nx": base_nx}
+
+    try:
+        p = subprocess.run(
+            [
+                sys.executable, "-m", "cuddhelmholtz_tpu.examples.scaling",
+                "--transfer", "--cpu", "8", str(base_nx),
+            ],
+            capture_output=True, text=True, timeout=timeout, cwd=repo,
+            env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+        )
+        result["cpu_mesh"] = json.loads(p.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover - diagnostics only
+        result["cpu_mesh"] = {"error": repr(e)[:200]}
+
+    try:
+        from ..parallel.distributed import spawn_cpu_processes
+
+        worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scaling_mp_worker.py")
+        outs = spawn_cpu_processes(worker, 2, 2, base_nx, timeout=timeout)
+        ok = all(rc == 0 for rc, _ in outs)
+        rec = {"ok": ok}
+        for _, text in outs:
+            for line in text.splitlines():
+                if line.startswith("SCALING_MP "):
+                    rec.update(json.loads(line[len("SCALING_MP "):]))
+        if not ok:
+            rec["tail"] = outs[0][1][-300:]
+        result["gloo_2proc"] = rec
+    except Exception as e:  # pragma: no cover - diagnostics only
+        result["gloo_2proc"] = {"error": repr(e)[:200]}
+
+    recs = result.get("cpu_mesh")
+    if isinstance(recs, list) and recs:
+        result["weak_efficiency_8dev"] = recs[-1].get("efficiency_vs_1dev")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     strong = "--strong" in args

@@ -254,7 +254,11 @@ class SparseCoarseSpace(NamedTuple):
     sd: jax.Array  # (ndom,) int32 superdomain label per subdomain
     dscale: jax.Array  # (2, nS, nm) 1/sqrt(diag E) normalisation
     nbr: jax.Array  # (nS, K) int32 neighbour superdomains (-1 pad)
-    Eb: jax.Array  # (nS, K, 2, 2, nm, nm) normalised blocks
+    # normalised blocks in BATCHED-MATMUL layout: Eb[r, (t, j), (k, s, l)]
+    # so the matvec is one (nS, 2nm, K*2nm) @ (nS, K*2nm) contraction --
+    # the robust MXU-shaped lowering (the 6-D einsum form compiled to a
+    # slow/fragile kernel at nS ~ 16k)
+    Eb: jax.Array  # (nS, 2*nm, K*2*nm)
     Pinv: jax.Array  # (nS, 2nm, 2nm) block-Jacobi inverse
 
 
@@ -264,14 +268,41 @@ def build_coarse_space_sparse(
     domains_per_super: int = 4,
     ridge: float = 1e-8,
     dtype=jnp.float32,
+    ortho: bool = True,
+    ortho_tol: float = 1e-8,
 ) -> SparseCoarseSpace:
     """Assemble the block-sparse coarse space (same exact Galerkin algebra
     as ``build_coarse_space``; only the storage changes).  Defaults target
-    skeleton-scale spaces -- the dense builder's nc cap does not apply."""
+    skeleton-scale spaces -- the dense builder's nc cap does not apply.
+
+    ``ortho=True`` orthonormalises the mode columns within each superdomain
+    (eigen-filter of the local Gram matrix; directions with relative
+    eigenvalue below ``ortho_tol`` are dropped to zero columns).  At
+    skeleton resolution (1 subdomain per superdomain) raw plane waves on a
+    sub-wavelength trace patch are NEARLY LINEARLY DEPENDENT -- measured at
+    nx=512/dps=1: near-singular diagonal blocks blow up the block-Jacobi
+    preconditioner and the coarse GMRES diverges (rel 6e+1).  The filter
+    makes Z^T Z the identity on surviving directions, which both fixes the
+    conditioning and makes the dropped null directions inert (their rows/
+    columns are pure ridge).  ``ortho=False`` keeps raw plane-wave columns
+    (bit-comparable to ``build_coarse_space``)."""
     V, sd, nS, A_u, groups, tgt_ok, sdd = _coarse_ingredients(
         ddh, n_dir, domains_per_super
     )
     ndom, pf, nm = V.shape
+
+    W = None
+    if ortho:
+        # local Gram per superdomain (this is the Z^T Z diagonal block)
+        VtV0 = np.einsum("dkj,dkl->djl", V, V)
+        G = np.zeros((nS, nm, nm))
+        np.add.at(G, sd, VtV0)
+        lam, Q = np.linalg.eigh(G)  # ascending eigenvalues
+        keep = lam > ortho_tol * np.maximum(lam[:, -1:], 1e-300)
+        inv_sqrt = np.where(keep, 1.0 / np.sqrt(np.where(keep, lam, 1.0)), 0.0)
+        W = Q * inv_sqrt[:, None, :]  # (nS, nm, nm): columns scaled/zeroed
+        V_raw = V
+        V = np.einsum("dkj,djl->dkl", V, W[sd])
 
     # (row-super, col-super) pair inventory: every diagonal pair (Z^T Z and
     # ridge live there) plus each pair reached by a dual-trace target
@@ -294,6 +325,14 @@ def build_coarse_space_sparse(
     # minus Z^T U Z: identical contraction to the dense path, scattered to
     # pair blocks.  Invalid (d, k) targets carry zero values; route them to
     # the own diagonal pair so every scatter index is in-inventory.
+    #
+    # Row factor subtlety: the row basis value is the ROW superdomain's
+    # (= the DUAL target's superdomain sdd[d, k]) column evaluated at the
+    # trace point.  For raw global modes that equals V[d, k] (dual and own
+    # slots share the physical coordinate), but the ortho transform is
+    # PER SUPERDOMAIN -- the row value must use the dual superdomain's W,
+    # not the own one's (fixing a 28% assembly error measured vs the
+    # brute-force Z^T A Z when sdd != sd).
     own_diag = (sd.astype(np.int64) * nS + sd)[:, None]
     pid_safe = np.where(tgt_ok, sdd.astype(np.int64) * nS + sd[:, None], own_diag)
     pidx_all = np.searchsorted(pair_ids, pid_safe)  # (ndom, pf)
@@ -302,13 +341,17 @@ def build_coarse_space_sparse(
         d1 = min(ndom, d0 + chunk)
         A_c = A_u[groups[d0:d1]]  # (c, 2pf, 2pf)
         V_c = V[d0:d1]
+        if W is None:
+            Vrow_c = V_c
+        else:
+            Vrow_c = np.einsum("dkl,dklj->dkj", V_raw[d0:d1], W[sdd[d0:d1]])
         m_c = tgt_ok[d0:d1]
         pidx_c = pidx_all[d0:d1].reshape(-1)
         for t in (0, 1):  # target side (lambda / mu rows)
             for s in (0, 1):  # source side (lambda / mu columns)
                 Ab = A_c[:, t * pf : (t + 1) * pf, s * pf : (s + 1) * pf]
                 Y = np.einsum("dkc,dcj->dkj", Ab, V_c)  # (c, pf, nm)
-                vals = (V_c[:, :, :, None] * Y[:, :, None, :]) * m_c[
+                vals = (Vrow_c[:, :, :, None] * Y[:, :, None, :]) * m_c[
                     :, :, None, None
                 ]  # (c, pf, nm, nm): [domain, slot, row mode j', col mode j]
                 np.add.at(B[:, t, s], pidx_c, -vals.reshape(-1, nm, nm))
@@ -343,22 +386,29 @@ def build_coarse_space_sparse(
     Eb = np.zeros((nS, K, 2, 2, nm, nm))
     nbr[r_sorted, slots] = cols_p[order].astype(np.int32)
     Eb[r_sorted, slots] = Bn[order]
+    # matmul layout: [r, k, t, s, j, l] -> [r, (t j), (k s l)]
+    Ebm = np.transpose(Eb, (0, 2, 4, 1, 3, 5)).reshape(nS, 2 * nm, K * 2 * nm)
 
     return SparseCoarseSpace(
         V=jnp.asarray(V, dtype=dtype),
         sd=jnp.asarray(sd.astype(np.int32)),
         dscale=jnp.asarray(1.0 / d, dtype=dtype),
         nbr=jnp.asarray(nbr),
-        Eb=jnp.asarray(Eb, dtype=dtype),
+        Eb=jnp.asarray(Ebm, dtype=dtype),
         Pinv=jnp.asarray(Pinv, dtype=dtype),
     )
 
 
 def _sparse_coarse_matvec(cs: SparseCoarseSpace, h: jax.Array) -> jax.Array:
-    """y[t, r, j] = sum_{k, s, l} Eb[r, k, t, s, j, l] h[s, nbr[r, k], l]."""
+    """y[t, r, j] = sum_{k, s, l} E[(t,r,j), (s, nbr[r,k], l)] h[s, nbr[r,k], l]
+    as one batched (nS, 2nm, K*2nm) @ (nS, K*2nm) matmul."""
+    nS, K = cs.nbr.shape
+    nm = h.shape[2]
     hn = h[:, jnp.maximum(cs.nbr, 0)]  # (2, nS, K, nm)
     hn = hn * (cs.nbr >= 0)[None, :, :, None].astype(h.dtype)
-    return jnp.einsum("rktsjl,srkl->trj", cs.Eb, hn, precision="high")
+    hnf = jnp.transpose(hn, (1, 2, 0, 3)).reshape(nS, K * 2 * nm)
+    y = jnp.einsum("rij,rj->ri", cs.Eb, hnf, precision="high")
+    return jnp.transpose(y.reshape(nS, 2, nm), (1, 0, 2))
 
 
 def _sparse_coarse_pc(cs: SparseCoarseSpace, r: jax.Array) -> jax.Array:

@@ -681,9 +681,16 @@ class DDH:
             cs = self.coarse_space
             data["coarse_V"] = np.asarray(cs.V)
             data["coarse_sd"] = np.asarray(cs.sd)
-            data["coarse_Einv"] = np.asarray(cs.Einv)
             data["coarse_dscale"] = np.asarray(cs.dscale)
             data["coarse_meta"] = np.asarray(self._coarse_meta, dtype=np.float64)
+            from .coarse import SparseCoarseSpace
+
+            if isinstance(cs, SparseCoarseSpace):
+                data["coarse_nbr"] = np.asarray(cs.nbr)
+                data["coarse_Eb"] = np.asarray(cs.Eb)
+                data["coarse_Pinv"] = np.asarray(cs.Pinv)
+            else:
+                data["coarse_Einv"] = np.asarray(cs.Einv)
         # pid-suffixed tmp name: two processes racing on the same config must
         # not interleave writes into one tmp file (os.replace stays atomic)
         tmp = f"{path}.tmp.{os.getpid()}.npz"
@@ -715,8 +722,9 @@ class DDH:
                 )
                 coarse_arrs = (
                     {
-                        k: z[f"coarse_{k}"]
-                        for k in ("V", "sd", "Einv", "dscale", "meta")
+                        k[len("coarse_") :]: z[k]
+                        for k in z.files
+                        if k.startswith("coarse_")
                     }
                     if "coarse_V" in z.files
                     else None
@@ -748,15 +756,31 @@ class DDH:
                 spec_idx=spec,
                 **{k: jnp.asarray(v) for k, v in io_arrs.items()},
             )
+        if coarse_arrs is not None and (
+            "Eb" in coarse_arrs and coarse_arrs["Eb"].ndim != 3
+        ):
+            # entry written before the sparse Eb moved to its batched-matmul
+            # layout: drop the coarse part (the transfer/io maps stay valid)
+            coarse_arrs = None
         if coarse_arrs is not None:
-            from .coarse import CoarseSpace
+            from .coarse import CoarseSpace, SparseCoarseSpace
 
-            self.coarse_space = CoarseSpace(
-                V=jnp.asarray(coarse_arrs["V"]),
-                sd=jnp.asarray(coarse_arrs["sd"]),
-                Einv=jnp.asarray(coarse_arrs["Einv"]),
-                dscale=jnp.asarray(coarse_arrs["dscale"]),
-            )
+            if "Eb" in coarse_arrs:
+                self.coarse_space = SparseCoarseSpace(
+                    V=jnp.asarray(coarse_arrs["V"]),
+                    sd=jnp.asarray(coarse_arrs["sd"]),
+                    dscale=jnp.asarray(coarse_arrs["dscale"]),
+                    nbr=jnp.asarray(coarse_arrs["nbr"]),
+                    Eb=jnp.asarray(coarse_arrs["Eb"]),
+                    Pinv=jnp.asarray(coarse_arrs["Pinv"]),
+                )
+            else:
+                self.coarse_space = CoarseSpace(
+                    V=jnp.asarray(coarse_arrs["V"]),
+                    sd=jnp.asarray(coarse_arrs["sd"]),
+                    Einv=jnp.asarray(coarse_arrs["Einv"]),
+                    dscale=jnp.asarray(coarse_arrs["dscale"]),
+                )
             self._coarse_meta = tuple(coarse_arrs["meta"].tolist())
         return True
 
@@ -1206,30 +1230,67 @@ class DDH:
         )
 
     def make_coarse(
-        self, n_dir: int = 4, domains_per_super: int = 16, ridge: float = 1e-8
+        self,
+        n_dir: int = 4,
+        domains_per_super: int = 16,
+        ridge: float = 1e-8,
+        method: str = "direct",
+        solve_m: int = 40,
+        solve_maxit: int = 4,
+        solve_tol: float = 1e-3,
+        ortho: bool = True,
     ):
         """Build (and store) the two-level plane-wave coarse space.
 
         Requires the transfer operator (``prepare``/``precompute_transfer``).
         See ``solvers/coarse.py``; use via ``solver(..., coarse=...)`` or
         ``coarse_correct``.  Beyond the reference (strictly one-level,
-        DDH.cpp:111-321).  The result is folded into the setup disk cache
-        (the coarse inverse can cost minutes at large nc): a matching
-        cached space loaded by ``prepare`` is returned directly, and a
-        freshly built one is persisted when ``prepare`` used a cache dir.
+        DDH.cpp:111-321).  ``method="direct"`` stores a dense inverse
+        (nc-capped); ``method="iterative"`` stores the block-sparse form
+        over the superdomain adjacency graph and solves it on device with
+        block-Jacobi GMRES (``solve_*`` control that inner solve) --
+        skeleton-resolution spaces (nc ~ 1e5) only fit this way.  The
+        result is folded into the setup disk cache: a matching cached
+        space loaded by ``prepare`` is returned directly, and a freshly
+        built one is persisted when ``prepare`` used a cache dir.
         """
-        from .coarse import build_coarse_space
+        from .coarse import build_coarse_space, build_coarse_space_sparse
 
-        meta = (float(n_dir), float(domains_per_super), float(ridge))
-        if self.coarse_space is not None and getattr(self, "_coarse_meta", None) == meta:
-            return self.coarse_space
-        self.coarse_space = build_coarse_space(
-            self,
-            n_dir=n_dir,
-            domains_per_super=domains_per_super,
-            ridge=ridge,
-            dtype=self.dtype,
+        if method not in ("direct", "iterative"):
+            raise ValueError("method must be 'direct' or 'iterative'")
+        self.coarse_solve = (int(solve_m), int(solve_maxit), float(solve_tol))
+        iterative = method == "iterative"
+        meta = (
+            float(n_dir),
+            float(domains_per_super),
+            float(ridge),
+            float(iterative),
+            float(ortho if iterative else 0.0),
         )
+        prev = getattr(self, "_coarse_meta", None)
+        # older caches stored 3-field (always-direct) or 4-field (pre-ortho)
+        # metas; pad with the defaults those builds used
+        if prev is not None and len(prev) < 5:
+            prev = (*prev, *((0.0,) * (5 - len(prev))))
+        if self.coarse_space is not None and prev == meta:
+            return self.coarse_space
+        if iterative:
+            self.coarse_space = build_coarse_space_sparse(
+                self,
+                n_dir=n_dir,
+                domains_per_super=domains_per_super,
+                ridge=ridge,
+                dtype=self.dtype,
+                ortho=ortho,
+            )
+        else:
+            self.coarse_space = build_coarse_space(
+                self,
+                n_dir=n_dir,
+                domains_per_super=domains_per_super,
+                ridge=ridge,
+                dtype=self.dtype,
+            )
         self._coarse_meta = meta
         if getattr(self, "_cache_dir", None):
             self.save_precomputed(self._cache_dir)
@@ -1239,7 +1300,11 @@ class DDH:
         """q = Z E^{-1} Z^T v: the coarse component of the correction."""
         from .coarse import coarse_apply
 
-        return coarse_apply(self.coarse_space, self.params, v, self.n_own)
+        sm, smx, stl = getattr(self, "coarse_solve", (40, 4, 1e-3))
+        return coarse_apply(
+            self.coarse_space, self.params, v, self.n_own,
+            solve_m=sm, solve_maxit=smx, solve_tol=stl,
+        )
 
     def solver(
         self,
@@ -1290,9 +1355,13 @@ class DDH:
                     from .gmres import fgmres
 
                     cs = st[4]
+                    sm, smx, stl = getattr(self, "coarse_solve", (40, 4, 1e-3))
 
                     def P(v):
-                        q = coarse_apply(cs, self.params, v, self.n_own)
+                        q = coarse_apply(
+                            cs, self.params, v, self.n_own,
+                            solve_m=sm, solve_maxit=smx, solve_tol=stl,
+                        )
                         if coarse == "multiplicative":
                             # q + (I - A q) residual sweep: one extra action
                             # per iteration, stronger correction
