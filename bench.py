@@ -261,6 +261,8 @@ def main():
             wsec = rm.extra.get("warm_seconds", rm.seconds)
             baseline_extras["ddh_multi_source_8"] = {
                 "success": bool(rm.success),
+                "method": rm.extra.get("method"),
+                "restarts": int(rm.num_iter),
                 "n_sources": k,
                 "solve_seconds": rm.seconds,
                 "warm_seconds": wsec,

@@ -118,6 +118,10 @@ BASELINE_CONFIGS = (
         kind="ddh_multi",
         nx=128,
         n_sources=8,
-        gmres=GmresConfig(m=20, maxit=100, tol=1e-4),
+        # m=40 for the BLOCK multi-source solver: the shared m*K space cuts
+        # restarts 17 -> 7 at K=8 and the longer cycle amortises the
+        # per-restart true-residual matvec + small-op overhead (measured
+        # 0.29 -> 0.21 s warm vs m=20; per-source trajectories unchanged)
+        gmres=GmresConfig(m=40, maxit=100, tol=1e-4),
     ),
 )

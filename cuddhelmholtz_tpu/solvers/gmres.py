@@ -429,6 +429,208 @@ def fgmres(
     )
 
 
+class BlockGmresResult(NamedTuple):
+    x: jax.Array  # (K, n) solutions
+    success: jax.Array  # (K,) per-source bool
+    num_iter: jax.Array  # shared restart count
+    num_matvec: jax.Array  # total SINGLE-vector matvec count (K per block op)
+    res_norm: jax.Array  # (maxit+1, K) per-source residual history
+    n_hist: jax.Array
+
+
+def _block_qr(Z, eps):
+    """Factor a K-row block ``Z = F @ V`` with the rows of V orthonormal
+    (up to jittered/clipped near-null directions).
+
+    Rank-deficient blocks HAPPEN by design in block GMRES (a source
+    converges, directions coalesce), and plain CholQR NaNs on them.  The
+    fast path is jittered CholQR; an in-jit ``lax.cond`` falls back to an
+    eigh-whitened polar factorisation (spectrum clipped at ``eps·λmax``)
+    only when the Cholesky factor comes back non-finite.  Near-dependent
+    directions survive as slightly-off-normal rows whose Arnoldi
+    inconsistency (~√jitter of the local block norm) affects only
+    components the space already contains.  No host sync — while_loop
+    safe.
+    """
+    K = Z.shape[0]
+    G = jnp.matmul(Z, Z.T, precision=_MV_PRECISION)
+    tr = jnp.trace(G) / K + jnp.asarray(1e-30, Z.dtype)
+
+    # fast path: jittered CholQR — two (K, K) ops.  The jitter (~30 eps
+    # relative) dominates the fp32 Gram rounding error, so the factor stays
+    # finite for PSD G; it only fails on pathological blocks, detected below.
+    Lc = jnp.linalg.cholesky(G + (30 * eps * tr) * jnp.eye(K, dtype=Z.dtype))
+    ok = jnp.all(jnp.isfinite(Lc))
+
+    def fast(_):
+        # invert the tiny factor explicitly and apply by matmul: on this
+        # chip a (K, K) triangular solve with n rhs columns serializes in
+        # the tiny-op pipeline, while (K, K) @ (K, n) rides the MXU
+        Li = jax.scipy.linalg.solve_triangular(
+            Lc, jnp.eye(K, dtype=Z.dtype), lower=True
+        )
+        V = jnp.matmul(Li, Z, precision=_MV_PRECISION)
+        return Lc, V
+
+    def robust(_):
+        # eigh-whitened polar factorisation (rank-revealing, NaN-free) —
+        # ~20x the cost of CholQR on this chip's tiny-op pipeline, so it
+        # runs only when the fast path broke down
+        s, U = jnp.linalg.eigh(G)
+        floor = eps * jnp.maximum(s[-1], jnp.asarray(1e-30, Z.dtype))
+        s_c = jnp.sqrt(jnp.maximum(s, floor))
+        F = U * s_c[None, :]
+        V = jnp.matmul(U.T / s_c[:, None], Z, precision=_MV_PRECISION)
+        return F, V
+
+    return lax.cond(ok, fast, robust, None)
+
+
+def block_gmres(
+    matvec: Callable,
+    B: jax.Array,
+    X0: jax.Array | None = None,
+    *,
+    m: int = 20,
+    maxit: int = 100,
+    tol: float = 1e-6,
+    reorth: bool = True,
+    unroll: bool = False,
+) -> BlockGmresResult:
+    """Restarted block GMRES: solve ``A x_k = b_k`` for K right-hand sides
+    with ONE shared block-Krylov space (rows of ``B``, shape (K, n)).
+
+    ``matvec`` must map a (K, n) block to a (K, n) block (e.g.
+    ``jax.vmap`` of a single-vector operator).  Per restart the space has
+    dimension m·K — K× richer than K independent GMRES(m) runs — so for
+    clustered spectra (the multi-source DDH λ-systems: one operator, K
+    forcings) the restart count drops by nearly K×, while every block step
+    still costs exactly one batched matvec, the same device work as one
+    lock-step ``vmap`` step.  This is what replaces the reference's
+    one-forcing-per-invocation driver loop (DDH.cpp:85-161) at multi-source
+    scale; a lock-step ``jax.vmap`` of :func:`gmres` (the r04 path) runs
+    every lane to the SLOWEST lane's restart count with no cross-source
+    subspace sharing.
+
+    TPU mapping: block orthogonalisation is CGS2 on K vectors at once —
+    (p, n) @ (n, K) matmuls that fill the MXU K× better than single-vector
+    GMRES; the block QR is CholQR (two small (K, K) host-free ops); the
+    per-restart least squares is one (m+1)K × mK QR on-device.  Fully
+    jitted: restarts are a ``lax.while_loop`` over fixed-shape state.
+
+    Convergence is per-source (``tol * ||b_k||``); the loop runs until ALL
+    sources converge (or maxit).  True residuals are recomputed each
+    restart.
+    """
+    dtype = B.dtype
+    K, n = B.shape
+    if X0 is None:
+        X0 = jnp.zeros((K, n), dtype=dtype)
+    eps = jnp.asarray(3e-7 if dtype == jnp.float32 else 1e-14, dtype)
+
+    tol = jnp.asarray(tol, dtype=dtype)
+    bnrm = jnp.linalg.norm(B, axis=1)  # (K,)
+    tol_b = tol * bnrm
+    R0 = B - matvec(X0)
+    r0 = jnp.linalg.norm(R0, axis=1)
+    hist0 = jnp.full((maxit + 1, K), jnp.nan, dtype=dtype).at[0].set(r0)
+
+    q = (m + 1) * K  # basis rows
+
+    def restart_body(carry):
+        X, R, rn, it, nmv, hist = carry
+        L0, V0 = _block_qr(R, eps)
+        W = jnp.zeros((q, n), dtype=dtype).at[:K].set(V0)
+        Hb = jnp.zeros((q, m * K), dtype=dtype)
+        # coordinates of R in the basis: r_k = Σ_i L0[k,i] v_i ⇒ E[:K] = L0ᵀ
+        E = jnp.zeros((q, K), dtype=dtype).at[:K, :].set(L0.T)
+
+        def inner(j, args):
+            """One block-Arnoldi step.  With a static ``j`` (``unroll=True``)
+            the CGS matmuls read only the populated ``W[:(j+1)K]`` rows —
+            on average half the basis HBM traffic, which DOMINATES the
+            per-step cost of the batched DDH solve (the matvec amortises
+            over K; the orthogonalisation does not)."""
+            W, Hb, nmv = args
+            static_j = isinstance(j, int)
+            if static_j:
+                Vj = W[j * K:(j + 1) * K]
+                Wl = W[: (j + 1) * K]
+            else:
+                Vj = lax.dynamic_slice_in_dim(W, j * K, K, axis=0)
+                Wl = W
+            Z = matvec(Vj)
+            # CGS(2) against the populated rows: rows beyond (j+1)K are zero,
+            # so the (sliced or padded) matmul computes exactly the
+            # coefficients against the live basis (same trick as
+            # _arnoldi_step)
+            h = jnp.matmul(Wl, Z.T, precision=_MV_PRECISION)  # (p, K)
+            Z = Z - jnp.matmul(h.T, Wl, precision=_MV_PRECISION)
+            if reorth:
+                h2 = jnp.matmul(Wl, Z.T, precision=_MV_PRECISION)
+                Z = Z - jnp.matmul(h2.T, Wl, precision=_MV_PRECISION)
+                h = h + h2
+            if static_j:
+                h = jnp.concatenate([h, jnp.zeros((q - (j + 1) * K, K), dtype)])
+            Lj, Vn = _block_qr(Z, eps)
+            # column block j of the block Hessenberg: coefficients h plus
+            # the subdiagonal Lᵀ (A Vj = hᵀ-combination of basis + Lj Vn)
+            col = lax.dynamic_update_slice(h, Lj.T, ((j + 1) * K, 0))
+            Hb2 = lax.dynamic_update_slice(Hb, col, (0, j * K))
+            W2 = lax.dynamic_update_slice_in_dim(W, Vn, (j + 1) * K, axis=0)
+            return W2, Hb2, nmv + K
+
+        if unroll:
+            carry = (W, Hb, nmv)
+            for jj in range(m):
+                carry = inner(jj, carry)
+            W, Hb, nmv = carry
+        else:
+            W, Hb, nmv = lax.fori_loop(0, m, inner, (W, Hb, nmv))
+        # least squares  min_Y || E - Hb Y ||_F  via ridge-regularised
+        # normal equations: N = HbᵀHb is one MXU matmul + ONE (mK, mK)
+        # Cholesky, where a Householder QR of the (m+1)K x mK Hessenberg
+        # would serialize ~mK panel steps through this chip's tiny-op
+        # pipeline (measured ms-scale, x maxit restarts).  The block
+        # Hessenberg of a preconditioned system is mildly conditioned, and
+        # the relative ridge bounds the squared condition number's fp32
+        # noise; frozen/dependent columns are zero, which the ridge turns
+        # into harmless zero components.
+        N = jnp.matmul(Hb.T, Hb, precision=_MV_PRECISION)
+        ridge = jnp.asarray(1e-7, dtype) * (
+            jnp.trace(N) / N.shape[0] + jnp.asarray(1e-30, dtype)
+        )
+        Ln = jnp.linalg.cholesky(N + ridge * jnp.eye(N.shape[0], dtype=dtype))
+        rhs_n = jnp.matmul(Hb.T, E, precision=_MV_PRECISION)
+        Y = jax.scipy.linalg.solve_triangular(
+            Ln.T,
+            jax.scipy.linalg.solve_triangular(Ln, rhs_n, lower=True),
+            lower=False,
+        )
+        X = X + jnp.matmul(Y.T, W[: m * K], precision=_MV_PRECISION)
+        R = B - matvec(X)
+        nmv = nmv + K
+        rn = jnp.linalg.norm(R, axis=1)
+        it = it + 1
+        hist = hist.at[it].set(rn)
+        return X, R, rn, it, nmv, hist
+
+    def cond(carry):
+        _, _, rn, it, _, _ = carry
+        return jnp.any((rn >= tol_b) & (rn > 0.0)) & (it < maxit - 1)
+
+    init = (X0, R0, r0, jnp.asarray(0), jnp.asarray(K), hist0)
+    X, R, rn, it, nmv, hist = lax.while_loop(cond, restart_body, init)
+    return BlockGmresResult(
+        x=X,
+        success=rn <= tol_b,
+        num_iter=it,
+        num_matvec=nmv,
+        res_norm=hist,
+        n_hist=it + 1,
+    )
+
+
 def gmres_host(
     matvec: Callable,
     b: jax.Array,

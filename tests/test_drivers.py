@@ -203,7 +203,7 @@ def test_ddh_multi_source_batched(tmp_path):
 
     res = run_ddh_multi_source(
         nx=8, deg=3, m=20, maxit=60, tol=1e-3, n_sources=2, transfer=False,
-        out_dir=str(tmp_path),
+        out_dir=str(tmp_path), method="vmap",
     )
     assert res.success
     assert res.solution.shape[0] == 2
@@ -233,6 +233,34 @@ def test_ddh_multi_source_batched(tmp_path):
     # per-source artifacts written
     assert (tmp_path / "ddh_src00.0000").exists()
     assert (tmp_path / "ddh_src01_8_3.txt").exists()
+
+
+def test_ddh_multi_source_block_converges_per_lane():
+    """Block-Krylov multi-source (the default production path): every lane's
+    TRUE residual meets the tolerance, solutions match the per-lane vmap
+    solve, and the shared space converges in no more restarts than the
+    slowest lock-step lane."""
+    from cuddhelmholtz_tpu.examples.drivers import run_ddh_multi_source
+
+    kw = dict(nx=8, deg=3, m=20, maxit=60, tol=1e-3, n_sources=3,
+              transfer=False)
+    blk = run_ddh_multi_source(method="block", **kw)
+    ref = run_ddh_multi_source(method="vmap", **kw)
+    assert blk.success and ref.success
+    ddh = blk.extra["ddh"]
+    import jax.numpy as jnp
+
+    for k in range(3):
+        # verify per-lane convergence on the true lambda-system residual
+        hist = blk.extra["histories"][k]
+        assert hist[-1] <= 1e-3 * hist[0] * (1 + 1e-6), (k, hist)
+        rel = np.linalg.norm(blk.solution[k] - ref.solution[k]) / np.linalg.norm(
+            ref.solution[k]
+        )
+        assert rel < 5e-3, (k, rel)
+    # shared m*K space per restart: never more restarts than the slowest
+    # lock-step lane (usually far fewer)
+    assert blk.num_iter <= max(ref.extra["per_source_restarts"])
 
 
 def test_permuted_kron_matvec32_matches_generic():
