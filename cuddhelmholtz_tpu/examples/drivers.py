@@ -325,6 +325,7 @@ def run_ddh(
     coarse_n_dir: int = 4,
     coarse_domains_per_super: int = 16,
     coarse_method: str = "direct",
+    coarse_solve: tuple = (20, 2, 3e-2),
 ) -> DriverResult:
     """The DDH substructured-solver example (DDH.cpp:85-161).
 
@@ -369,9 +370,10 @@ def run_ddh(
     if coarse:
         if not transfer:
             raise ValueError("coarse correction requires transfer=True")
+        sm, smx, stl = coarse_solve
         ddh.make_coarse(
             n_dir=coarse_n_dir, domains_per_super=coarse_domains_per_super,
-            method=coarse_method,
+            method=coarse_method, solve_m=sm, solve_maxit=smx, solve_tol=stl,
         )
     setup_s = time.perf_counter() - t_setup
 
@@ -648,6 +650,7 @@ def run_helmholtz_ddh(
     tol: float = 1e-6,
     inner_m: int = 20,
     inner_maxit: int = 3,
+    inner_gmres_opts: dict | None = None,
     wh_maxit: int = 5,
     transfer: bool = True,
     dtype=jnp.float64,
@@ -736,11 +739,13 @@ def run_helmholtz_ddh(
         pstats = ddh.prepare(want_io=_want_io_maps())
     setup_s = time.perf_counter() - t_setup
 
+    igo = inner_gmres_opts or {}
+
     def P(v):
         # bounded fp32 inner solve, no early exit: deterministic work/apply
         v32 = v.astype(jnp.float32)
         Y = ddh.rhs(v32)
-        out = gmres(ddh.action, Y, m=inner_m, maxit=inner_maxit, tol=0.0)
+        out = gmres(ddh.action, Y, m=inner_m, maxit=inner_maxit, tol=0.0, **igo)
         return ddh.postprocess(out.x, v32).astype(v.dtype)
 
     use_refine = refine and jnp.dtype(dtype) == jnp.dtype("float64")

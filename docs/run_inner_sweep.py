@@ -33,6 +33,9 @@ def main(argv=None):
                     choices=["helmholtz_ddh_1e6", "helmholtz_ddh_unstructured_1e6"])
     ap.add_argument("--inner-maxit", default="1,2,3,5")
     ap.add_argument("--inner-m", default="10,20,40")
+    ap.add_argument("--fast-inner", action="store_true",
+                    help="inner lambda-GMRES with reorth=False, unroll=True "
+                         "(the tiny-op/HBM savings measured for block_gmres)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -44,6 +47,8 @@ def main(argv=None):
     base = dict(nx=8 if unstructured else 128, deg=3, m=20, maxit=100,
                 tol=1e-6, mesh=mesh, n_domains=8 if unstructured else None,
                 measure_warm=True)
+    if args.fast_inner:
+        base["inner_gmres_opts"] = {"reorth": False, "unroll": True}
 
     recs = []
     for mi in [int(s) for s in args.inner_maxit.split(",")]:
@@ -55,6 +60,7 @@ def main(argv=None):
                     "config": args.config,
                     "inner_maxit": mi,
                     "inner_m": im,
+                    "fast_inner": bool(args.fast_inner),
                     "inner_matvec_budget": (mi - 1) * im,
                     "warm_seconds": r.extra.get("warm_seconds"),
                     "compile_seconds": r.extra.get("compile_seconds"),
