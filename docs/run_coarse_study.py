@@ -11,8 +11,11 @@ Run:  python docs/run_coarse_study.py [--nx 512] [--block 16] [--out f.jsonl]
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
