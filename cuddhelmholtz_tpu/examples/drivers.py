@@ -596,6 +596,14 @@ def run_ddh_multi_source(
     )
 
 
+# r05 inner-budget sweep (docs/artifacts/inner_sweep_*.jsonl): the 3x20
+# budget is Pareto-optimal and single-pass CGS + statically-unrolled steps
+# shave the inner lambda-solve's serialized small-kernel latency at
+# identical convergence (the refinement loop's fp64 true-residual recompute
+# catches any inner sloppiness by construction)
+_FAST_INNER = {"reorth": False, "unroll": True}
+
+
 def _make_matvec32(omega, a2, af, fem, fs, mesh, nx=None):
     """fp32 coupled-Helmholtz matvec for the refinement inner solves.
 
@@ -650,7 +658,7 @@ def run_helmholtz_ddh(
     tol: float = 1e-6,
     inner_m: int = 20,
     inner_maxit: int = 3,
-    inner_gmres_opts: dict | None = None,
+    inner_gmres_opts: dict | None = _FAST_INNER,
     wh_maxit: int = 5,
     transfer: bool = True,
     dtype=jnp.float64,
@@ -706,13 +714,24 @@ def run_helmholtz_ddh(
     structured = mesh is None
     if structured:
         mesh = Mesh2D.uniform_rect(nx, -1.0, 1.0, nx, -1.0, 1.0)
-    elif element_labels is None:
-        from ..spaces.ensemble import coordinate_bisection_labels
+        # GRID-NATIVE numbering for the whole structured pipeline: building
+        # the DDH, the coefficients, and both coupled operators on the
+        # row-major GridH1Space removes the two ~148k-element permutation
+        # gathers the r04 path paid on EVERY outer Arnoldi step (profiled
+        # 4.4 ms/step -- the largest single cost after the preconditioner).
+        # The solution is renumbered to the reference H1 ordering once, at
+        # the end, for artifact/test parity.
+        from ..ops.structured import GridH1Space
 
-        element_labels, n_domains = coordinate_bisection_labels(
-            mesh, n_domains or max(4, mesh.n_elem // 16)
-        )
-    fem = H1Space(mesh, Basis(deg + 1))
+        fem = GridH1Space(mesh, Basis(deg + 1), nx, nx)
+    else:
+        if element_labels is None:
+            from ..spaces.ensemble import coordinate_bisection_labels
+
+            element_labels, n_domains = coordinate_bisection_labels(
+                mesh, n_domains or max(4, mesh.n_elem // 16)
+            )
+        fem = H1Space(mesh, Basis(deg + 1))
     fs = FaceSpace(fem, mesh.boundary_edges)
 
     with _setup_scope():
@@ -753,9 +772,19 @@ def run_helmholtz_ddh(
              "precompute": pstats, "refine": use_refine}
 
     if use_refine:
-        matvec32 = _make_matvec32(
-            omega, a2, af, fem, fs, mesh, nx if structured else None
-        )
+        if structured:
+            # fem IS grid-numbered: the kron fast path applies directly,
+            # no permutation gathers (see _make_matvec32 for the mixed-
+            # numbering variant used when the DDH must keep H1 ordering)
+            op32 = make_helmholtz_op(
+                omega, np.asarray(a2, np.float32), np.asarray(af, np.float32),
+                fem, fs, dtype=jnp.float32,
+            )
+            matvec32 = lambda U: apply_helmholtz(
+                op32, U, kron_precision="highest"
+            )
+        else:
+            matvec32 = _make_matvec32(omega, a2, af, fem, fs, mesh, None)
         matvec64 = jax.jit(lambda U: apply_helmholtz(op, U))
 
         # DDH state passed as jit ARGUMENTS (the same pattern as
@@ -771,7 +800,14 @@ def run_helmholtz_ddh(
             old = (ddh.params, ddh._T_dev, ddh.route, ddh.io)
             ddh.params, ddh._T_dev, ddh.route, ddh.io = st
             try:
-                return fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl)
+                # deferred=True: per-restart normal-equations least squares
+                # instead of per-step Givens chains -- profiled at 3.4 ms of
+                # serialized small kernels per outer step on this chip (the
+                # single largest non-matvec cost of the refine solve); exit
+                # checks move to restart boundaries, which the refinement
+                # loop's loose inner tolerances make nearly free
+                return fgmres(matvec32, r, P, m=m, maxit=maxit, tol=tl,
+                              deferred=True)
             finally:
                 ddh.params, ddh._T_dev, ddh.route, ddh.io = old
 
@@ -859,13 +895,25 @@ def run_helmholtz_ddh(
         res_hist = np.asarray(out.res_norm)[: int(out.n_hist)]
         num_iter, num_matvec, success = int(out.num_iter), int(out.num_matvec), bool(out.success)
 
+    coords_out = fem.coords
+    if structured:
+        # renumber grid -> reference H1 ordering once (artifact/test parity
+        # with the reference drivers; the solve itself ran grid-native)
+        fem_ref = H1Space(mesh, Basis(deg + 1))
+        r2g = np.zeros(fem.ndof, np.int64)
+        r2g[np.asarray(fem_ref.dofs).reshape(-1)] = np.asarray(
+            fem.dofs
+        ).reshape(-1)
+        nd = fem.ndof
+        U = np.concatenate([U[:nd][r2g], U[nd:][r2g]])
+        coords_out = fem_ref.coords
     if out_dir:
-        to_file(f"{out_dir}/xy.0000", fem.coords.T)
+        to_file(f"{out_dir}/xy.0000", np.asarray(coords_out).T)
         to_file(f"{out_dir}/helmholtz_ddh.0000", U)
         write_history(f"{out_dir}/hddh_{nx}_{deg}.txt", res_hist)
     return DriverResult(
         solution=U,
-        coords=fem.coords,
+        coords=coords_out,
         res_norm=res_hist,
         num_iter=num_iter,
         num_matvec=num_matvec,

@@ -362,6 +362,7 @@ def fgmres(
     maxit: int = 100,
     tol: float = 1e-6,
     reorth: bool = True,
+    deferred: bool = False,
 ) -> GmresResult:
     """Flexible GMRES(m) with a right preconditioner applied per step.
 
@@ -372,6 +373,16 @@ def fgmres(
     linear P (left preconditioning); use this when P is itself iterative.
     Beyond-reference capability (Saad 1993; the reference has only plain
     left preconditioning, ``gmres.cpp:68-89``).
+
+    ``deferred=True`` trades the per-step Givens/early-exit machinery (a
+    ~3.4 ms ``lax.cond`` of serialized small kernels per step on this
+    chip's tiny-op pipeline — profiled in the composite refine solve) for
+    one ridge-regularised normal-equations solve per RESTART: every
+    restart runs all m steps unconditionally and convergence is checked on
+    the true residual at restart boundaries.  Same trajectories when exit
+    happens at a restart boundary; inside the final restart it overshoots
+    up to m-1 steps.  Right for expensive-preconditioner solves where m is
+    small relative to the total step count.
     """
     dtype = b.dtype
     n = b.shape[0]
@@ -392,23 +403,64 @@ def fgmres(
         V = jnp.zeros((m1, n), dtype=dtype).at[0].set(
             r / jnp.where(r_nrm > 0.0, r_nrm, 1.0)
         )
-        Q = jnp.eye(m1, dtype=dtype)
-        R = jnp.zeros((m, m), dtype=dtype)
-        eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
         Zs = jnp.zeros((m, n), dtype=dtype)  # preconditioned directions
+        if deferred:
+            Hc = jnp.zeros((m1, m), dtype=dtype)  # plain Hessenberg columns
 
-        def inner(j, args):
-            V, Q, R, eta, done, nmv, Zs = args
-            z = precond(V[j])
-            V, Q, R, eta, done, nmv = _arnoldi_step(
-                matvec, V, Q, R, eta, j, tol_bnrm, done, nmv, reorth, vin=z
+            def inner_d(j, args):
+                V, Hc, Zs, nmv = args
+                z = precond(V[j])
+                w = matvec(z)
+                # CGS(2) vs the populated rows (rows > j are zero)
+                h = _mv(V, w)
+                w = w - _mv(V.T, h)
+                if reorth:
+                    h2 = _mv(V, w)
+                    w = w - _mv(V.T, h2)
+                    h = h + h2
+                hk1 = linalg.norm(w)
+                vnew = jnp.where(
+                    hk1 > 0.0, w / jnp.where(hk1 > 0.0, hk1, 1.0), w
+                )
+                return (
+                    V.at[j + 1].set(vnew),
+                    Hc.at[:, j].set(h.at[j + 1].set(hk1)),
+                    Zs.at[j].set(z),
+                    nmv + 1,
+                )
+
+            V, Hc, Zs, nmv = lax.fori_loop(0, m, inner_d, (V, Hc, Zs, nmv))
+            # min_y || r_nrm e1 - Hc y || by ridge-regularised normal
+            # equations: one MXU matmul + one tiny Cholesky per restart
+            # instead of m serialized Givens chains
+            N = _mv(Hc.T, Hc)
+            ridge = jnp.asarray(1e-7, dtype) * (
+                jnp.trace(N) / m + jnp.asarray(1e-30, dtype)
             )
-            # frozen steps contribute y_j = 0, so the stale z row is inert
-            return V, Q, R, eta, done, nmv, Zs.at[j].set(z)
+            Ln = jnp.linalg.cholesky(N + ridge * jnp.eye(m, dtype=dtype))
+            rhs_n = r_nrm * Hc[0, :]
+            y = jax.scipy.linalg.solve_triangular(
+                Ln.T,
+                jax.scipy.linalg.solve_triangular(Ln, rhs_n, lower=True),
+                lower=False,
+            )
+        else:
+            Q = jnp.eye(m1, dtype=dtype)
+            R = jnp.zeros((m, m), dtype=dtype)
+            eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
 
-        carry_in = (V, Q, R, eta, jnp.asarray(False), nmv, Zs)
-        V, Q, R, eta, _, nmv, Zs = lax.fori_loop(0, m, inner, carry_in)
-        y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
+            def inner(j, args):
+                V, Q, R, eta, done, nmv, Zs = args
+                z = precond(V[j])
+                V, Q, R, eta, done, nmv = _arnoldi_step(
+                    matvec, V, Q, R, eta, j, tol_bnrm, done, nmv, reorth, vin=z
+                )
+                # frozen steps contribute y_j = 0, so the stale z row is inert
+                return V, Q, R, eta, done, nmv, Zs.at[j].set(z)
+
+            carry_in = (V, Q, R, eta, jnp.asarray(False), nmv, Zs)
+            V, Q, R, eta, _, nmv, Zs = lax.fori_loop(0, m, inner, carry_in)
+            y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
         x = x + _mv(Zs.T, y)
         r = b - matvec(x)
         nmv = nmv + 1

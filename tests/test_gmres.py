@@ -371,6 +371,31 @@ def test_block_gmres_survives_converged_lane():
     assert rel.max() < 1e-8 * 1.01, rel
 
 
+def test_fgmres_deferred_matches_standard():
+    """deferred=True (per-restart normal-equations LS, no per-step Givens)
+    reaches the same solution quality as the standard path and agrees on
+    restart counts when exits land on restart boundaries."""
+    from cuddhelmholtz_tpu.solvers.gmres import fgmres
+
+    n = 300
+    rng = np.random.default_rng(32)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    b = toeplitz_matvec(x_true)
+
+    def inner(v):
+        return gmres(toeplitz_matvec, v, m=4, maxit=2, tol=0.0).x
+
+    std = fgmres(toeplitz_matvec, b, inner, m=6, maxit=20, tol=1e-8)
+    dfr = fgmres(toeplitz_matvec, b, inner, m=6, maxit=20, tol=1e-8,
+                 deferred=True)
+    assert bool(dfr.success)
+    res = np.linalg.norm(toeplitz_matvec(dfr.x) - b) / np.linalg.norm(b)
+    assert res < 1e-8 * 1.01
+    # deferred runs full restarts: restart count can only match or beat the
+    # standard path's (its space per restart is never truncated early)
+    assert int(dfr.num_iter) <= int(std.num_iter)
+
+
 def test_gmres_vmapped_matches_solo():
     """``jax.vmap(gmres)`` (the multi-RHS batched solve used by
     run_ddh_multi_source) keeps per-lane trajectories: each right-hand side
