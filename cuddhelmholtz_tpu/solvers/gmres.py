@@ -169,6 +169,7 @@ def gmres(
     precond: Callable | None = None,
     reorth: bool = True,
     unroll: bool = False,
+    deferred: bool = False,
 ) -> GmresResult:
     """Solve A x = b with restarted GMRES(m).
 
@@ -181,6 +182,12 @@ def gmres(
     ``V[:k+1]`` rows, halving the average orthogonalisation HBM traffic.
     Best for small m where the solver overhead rivals the matvec; compile
     time grows with m.
+
+    ``deferred=True`` removes the per-step Givens/early-exit machinery (a
+    serialized small-kernel chain per step on this chip) in favour of one
+    ridge-regularised normal-equations least squares per restart; exits
+    move to restart boundaries (up to m-1 overshoot steps in the final
+    restart).  See ``fgmres`` for the profile that motivated it.
     """
     dtype = b.dtype
     n = b.shape[0]
@@ -206,26 +213,71 @@ def gmres(
         V = jnp.zeros((m1, n), dtype=dtype).at[0].set(
             r / jnp.where(r_nrm > 0.0, r_nrm, 1.0)
         )
-        Q = jnp.eye(m1, dtype=dtype)
-        R = jnp.zeros((m, m), dtype=dtype)
-        eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
+        if deferred:
+            Hc = jnp.zeros((m1, m), dtype=dtype)
 
-        def inner(k, args):
-            V, Q, R, eta, done, nmv = args
-            return _arnoldi_step(
-                inner_matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth
+            def inner_d(k, args):
+                V, Hc, nmv = args
+                static_k = isinstance(k, int)
+                Vk = V[: k + 1] if static_k else V
+                w = inner_matvec(V[k])
+                h = _mv(Vk, w)
+                w = w - _mv(Vk.T, h)
+                if reorth:
+                    h2 = _mv(Vk, w)
+                    w = w - _mv(Vk.T, h2)
+                    h = h + h2
+                if static_k:
+                    h = jnp.concatenate([h, jnp.zeros(m1 - k - 1, dtype)])
+                hk1 = linalg.norm(w)
+                vnew = jnp.where(
+                    hk1 > 0.0, w / jnp.where(hk1 > 0.0, hk1, 1.0), w
+                )
+                return (
+                    V.at[k + 1].set(vnew),
+                    Hc.at[:, k].set(h.at[k + 1].set(hk1)),
+                    nmv + 1,
+                )
+
+            if unroll:
+                carry_d = (V, Hc, nmv)
+                for kk in range(m):
+                    carry_d = inner_d(kk, carry_d)
+                V, Hc, nmv = carry_d
+            else:
+                V, Hc, nmv = lax.fori_loop(0, m, inner_d, (V, Hc, nmv))
+            N = _mv(Hc.T, Hc)
+            ridge = jnp.asarray(1e-7, dtype) * (
+                jnp.trace(N) / m + jnp.asarray(1e-30, dtype)
             )
-
-        carry = (V, Q, R, eta, jnp.asarray(False), nmv)
-        if unroll:
-            for kk in range(m):
-                carry = inner(kk, carry)
-            V, Q, R, eta, _, nmv = carry
+            Ln = jnp.linalg.cholesky(N + ridge * jnp.eye(m, dtype=dtype))
+            rhs_n = r_nrm * Hc[0, :]
+            y = jax.scipy.linalg.solve_triangular(
+                Ln.T,
+                jax.scipy.linalg.solve_triangular(Ln, rhs_n, lower=True),
+                lower=False,
+            )
         else:
-            V, Q, R, eta, _, nmv = lax.fori_loop(0, m, inner, carry)
-        # padded upper-triangular solve: frozen columns are identity with a
-        # zero rhs, so their solution components vanish
-        y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
+            Q = jnp.eye(m1, dtype=dtype)
+            R = jnp.zeros((m, m), dtype=dtype)
+            eta = jnp.zeros(m1, dtype=dtype).at[0].set(r_nrm)
+
+            def inner(k, args):
+                V, Q, R, eta, done, nmv = args
+                return _arnoldi_step(
+                    inner_matvec, V, Q, R, eta, k, tol_bnrm, done, nmv, reorth
+                )
+
+            carry = (V, Q, R, eta, jnp.asarray(False), nmv)
+            if unroll:
+                for kk in range(m):
+                    carry = inner(kk, carry)
+                V, Q, R, eta, _, nmv = carry
+            else:
+                V, Q, R, eta, _, nmv = lax.fori_loop(0, m, inner, carry)
+            # padded upper-triangular solve: frozen columns are identity with
+            # a zero rhs, so their solution components vanish
+            y = jax.scipy.linalg.solve_triangular(R, eta[:m], lower=False)
         x = x + _mv(V[:m].T, y)
         r = b - inner_matvec(x)
         nmv = nmv + 1

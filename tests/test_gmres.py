@@ -371,6 +371,28 @@ def test_block_gmres_survives_converged_lane():
     assert rel.max() < 1e-8 * 1.01, rel
 
 
+def test_gmres_deferred_matches_standard():
+    """gmres(deferred=True) — per-restart normal-equations LS instead of
+    per-step Givens — converges to the same quality with the same restart
+    count on the Toeplitz oracle, in all ortho variants."""
+    from cuddhelmholtz_tpu.solvers.gmres import gmres as _g
+
+    n = 512
+    rng = np.random.default_rng(42)
+    b = toeplitz_matvec(jnp.asarray(rng.standard_normal(n)))
+    std = _g(toeplitz_matvec, b, m=20, maxit=50, tol=1e-8)
+    assert bool(std.success)
+    for kw in ({"deferred": True},
+               {"deferred": True, "unroll": True, "reorth": False}):
+        o = _g(toeplitz_matvec, b, m=20, maxit=50, tol=1e-8, **kw)
+        assert bool(o.success), kw
+        res = float(
+            jnp.linalg.norm(b - toeplitz_matvec(o.x)) / jnp.linalg.norm(b)
+        )
+        assert res < 1e-8 * 1.01, (kw, res)
+        assert int(o.num_iter) == int(std.num_iter), kw
+
+
 def test_fgmres_deferred_matches_standard():
     """deferred=True (per-restart normal-equations LS, no per-step Givens)
     reaches the same solution quality as the standard path and agrees on
