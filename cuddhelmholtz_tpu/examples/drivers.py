@@ -761,11 +761,17 @@ def run_helmholtz_ddh(
     igo = inner_gmres_opts or {}
 
     def P(v):
-        # bounded fp32 inner solve, no early exit: deterministic work/apply
+        # bounded fp32 inner solve, no early exit: deterministic work/apply.
+        # io_precision="default": P is a preconditioner under FLEXIBLE outer
+        # GMRES, so the ~1e-3 relative noise of single-pass bf16 io-map
+        # einsums only perturbs P, never the converged answer (the outer
+        # residual is true fp32/fp64) -- and the "highest" 6-pass io maps
+        # were the largest per-outer-step cost (9.1 of 14.4 ms at nx=128,
+        # docs/run_refine_profile.py)
         v32 = v.astype(jnp.float32)
-        Y = ddh.rhs(v32)
+        Y = ddh.rhs(v32, io_precision="default")
         out = gmres(ddh.action, Y, m=inner_m, maxit=inner_maxit, tol=0.0, **igo)
-        return ddh.postprocess(out.x, v32).astype(v.dtype)
+        return ddh.postprocess(out.x, v32, io_precision="default").astype(v.dtype)
 
     use_refine = refine and jnp.dtype(dtype) == jnp.dtype("float64")
     extra = {"omega": omega, "ndof": fem.ndof, "setup_seconds": setup_s,

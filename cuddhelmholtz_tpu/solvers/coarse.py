@@ -461,6 +461,7 @@ def coarse_apply(
     solve_m: int = 40,
     solve_maxit: int = 4,
     solve_tol: float = 1e-3,
+    solve_opts: dict | None = None,
 ) -> jax.Array:
     """q = Z E^{-1} Z^T v on the device (jittable).
 
@@ -484,9 +485,21 @@ def coarse_apply(
         def pc(x):
             return _sparse_coarse_pc(cs, x.reshape(shape)).reshape(-1)
 
+        # deferred + single-pass CGS: the coarse solve sits near the
+        # device's small-kernel serialization floor (~1 ms/step at nc~3e5;
+        # measured docs/run_coarse_microbench.py), so removing the per-step
+        # Givens/early-exit chain buys ~6% and the loose tol (default 1e-3,
+        # study 3e-2) under the flexible outer FGMRES tolerates the CGS1
+        # orthogonalisation.  ``unroll`` is measurably WORSE here (the 20
+        # distinctly-shaped growing-slice matmuls beat the one masked
+        # (m+1, nc) shape only for small n; at nc~3e5: 71 ms vs 49 ms per
+        # apply, 19 s extra compile) -- keep the rolled loop.
+        igo = {"deferred": True, "unroll": False, "reorth": False}
+        if solve_opts is not None:
+            igo = solve_opts
         out = _gmres(
             mv, g2.reshape(-1), precond=pc, m=solve_m, maxit=solve_maxit,
-            tol=solve_tol,
+            tol=solve_tol, **igo,
         )
         h2 = out.x.reshape(shape) * cs.dscale
     else:

@@ -472,6 +472,7 @@ class DDH:
         self.route_offs: tuple = ()
         self.route_perms: tuple = ()
         self.io: IOMaps | None = None
+        self._patch: tuple | None = None  # lazy (PatchIO, pshape) | (None, None)
         self.coarse_space = None  # two-level correction (solvers/coarse.py)
         self._coarse_meta: tuple | None = None
         self._cache_dir: str | None = None
@@ -1203,11 +1204,40 @@ class DDH:
         )
         return self.io
 
-    def rhs(self, f: jax.Array) -> jax.Array:
-        """Substructured RHS from the Helmholtz forcing (DDH.cpp:641-667)."""
+    def patch_io(self):
+        """Lazy (PatchIO, pshape) for the grid-native window fast path;
+        (None, None) when the numbering is not window-regular (see
+        ``_build_patch_io``).  Built once from host-side tables."""
+        if self._patch is None:
+            if self.io is None:
+                return (None, None)
+            try:
+                self._patch = _build_patch_io(self.space, self.params, self.io)
+            except Exception:  # pragma: no cover - conservative fallback
+                self._patch = (None, None)
+        return self._patch
+
+    def rhs(self, f: jax.Array, io_precision: str | None = None) -> jax.Array:
+        """Substructured RHS from the Helmholtz forcing (DDH.cpp:641-667).
+
+        ``io_precision`` relaxes the io-map einsum precision (default
+        "highest" = full fp32 emulation, 6 bf16 MXU passes).  Pass "default"
+        when this rhs feeds a PRECONDITIONER application (e.g. the composite
+        refine driver): a ~1e-3-relative perturbation of P is harmless under
+        flexible outer GMRES and the maps are ~6x cheaper (docs/PERF.md r05).
+        """
         self._debug_finite("DDH.rhs input", f)
         if self.use_transfer and self.io is not None:
-            return ddh_rhs_io(self.params, self.io, f, self.g_ndof, self.n_lambda)
+            pio, pshape = self.patch_io()
+            if pio is not None:
+                return ddh_rhs_io_patch(
+                    self.params, self.io, pio, f, self.g_ndof, self.n_lambda,
+                    pshape, precision=io_precision or "highest",
+                )
+            return ddh_rhs_io(
+                self.params, self.io, f, self.g_ndof, self.n_lambda,
+                precision=io_precision or "highest",
+            )
         return ddh_rhs(
             self.params,
             f,
@@ -1218,12 +1248,25 @@ class DDH:
             precision=self.precision,
         )
 
-    def postprocess(self, lam: jax.Array, f: jax.Array) -> jax.Array:
-        """Recover the (u, v) solution (DDH.cpp:669-695)."""
+    def postprocess(
+        self, lam: jax.Array, f: jax.Array, io_precision: str | None = None
+    ) -> jax.Array:
+        """Recover the (u, v) solution (DDH.cpp:669-695).
+
+        ``io_precision``: see ``rhs`` -- relax only when the result feeds a
+        preconditioner, not a final solution recovery.
+        """
         self._debug_finite("DDH.postprocess lambda", lam)
         if self.use_transfer and self.io is not None:
+            pio, pshape = self.patch_io()
+            if pio is not None:
+                return ddh_postprocess_io_patch(
+                    self.params, self.io, pio, lam, f, self.g_ndof,
+                    self.n_own, pshape, precision=io_precision or "highest",
+                )
             return ddh_postprocess_io(
-                self.params, self.io, lam, f, self.g_ndof, self.n_own
+                self.params, self.io, lam, f, self.g_ndof, self.n_own,
+                precision=io_precision or "highest",
             )
         return ddh_postprocess(
             self.params,
@@ -1460,6 +1503,225 @@ class IOMaps(NamedTuple):
     spec_idx: jax.Array | None = None  # (nspec,) sorted special domains
 
 
+class PatchIO(NamedTuple):
+    """Window-ordered variants of the io maps for grid-native numberings.
+
+    On a row-major grid DOF numbering every subdomain's global ids form one
+    (h, h) window at stride (s, s), so the forcing gather and the solution
+    scatter-add collapse to ONE ``lax.conv_general_dilated_patches`` call
+    and its linear transpose -- ~10x faster than the dynamic gather/scatter
+    on this chip (0.19 ms vs 1.87 ms per 262k elements at nx=128,
+    ``docs/run_gather_probe.py``; the gather cost is index-structure
+    independent).  The io matrices are pre-permuted ONCE on the host so no
+    slot permutation runs at apply time; ``_build_patch_io`` verifies the
+    window model reproduces ``gI`` exactly and returns None otherwise
+    (reference-numbered H1Space, unstructured partitions).
+    """
+
+    Rw: jax.Array  # (nu, 2pf, 2nwin)   input cols window-ordered
+    # the four postprocess maps fused into ONE grouped matmul
+    # [[Pu, Pul], [Pv, Pvl]] acting on z = [Fw; Gw; lam0; mu0]: the five
+    # separate ~0.1-GFLOP group applies were each ~1 ms of pure small-kernel
+    # overhead in the solve loop (docs/run_refine_profile.py)
+    Mw: jax.Array  # (nu, 2nwin, 2nwin + 2pf)
+    w_F: jax.Array  # (1, nwin, nby, nbx) forcing weights, window order
+    m_w: jax.Array  # (1, nwin, nby, nbx) solution combine weights
+
+
+def _build_patch_io(space, params, io: IOMaps):
+    """Host-verified PatchIO + static shape, or (None, None).
+
+    Succeeds exactly when (a) the space's DOF coordinates are row-major
+    grid-ordered, (b) every subdomain's valid ``gI`` ids are one full
+    (h, h) window with a slot order shared by ALL subdomains, and (c) the
+    window bases tile the grid row-major at a uniform stride.  Everything
+    is checked against ``gI`` itself, so a false positive is impossible.
+    """
+    gI = np.asarray(params.gI)
+    ndom, pad = gI.shape
+    coords = np.asarray(space.coords)
+    if coords.shape[0] < 4:
+        return None, None
+    ys = coords[:, 1]
+    changes = np.nonzero(ys != ys[0])[0]
+    if changes.size == 0:
+        return None, None
+    W = int(changes[0])
+    if W <= 1 or coords.shape[0] % W:
+        return None, None
+    H = coords.shape[0] // W
+    valid = gI >= 0
+    nv = valid.sum(axis=1)
+    if not np.all(nv == nv[0]):
+        return None, None
+    nwin = int(nv[0])
+    if not (np.all(valid[:, :nwin]) and not np.any(valid[:, nwin:])):
+        return None, None
+    core = gI[:, :nwin].astype(np.int64)
+    base = core.min(axis=1)
+    rel = core - base[:, None]
+    if not np.all(rel == rel[0]):
+        return None, None
+    dr, dc = rel[0] // W, rel[0] % W
+    h = int(dr.max()) + 1
+    w = int(dc.max()) + 1
+    if h != w or h * w != nwin:
+        return None, None
+    wpos = dr * w + dc  # slot -> window-row-major position
+    if np.unique(wpos).size != nwin:
+        return None, None
+    br, bc = base // W, base % W
+    ubr, ubc = np.unique(br), np.unique(bc)
+    nby, nbx = ubr.size, ubc.size
+    if nby * nbx != ndom:
+        return None, None
+    sr = int(ubr[1] - ubr[0]) if nby > 1 else h
+    sc = int(ubc[1] - ubc[0]) if nbx > 1 else w
+    if sr != sc or np.any(np.diff(ubr) != sr) or np.any(np.diff(ubc) != sc):
+        return None, None
+    if ubr[0] != 0 or ubc[0] != 0 or ubr[-1] + h != H or ubc[-1] + w != W:
+        return None, None
+    # identity domain order: d == by * nbx + bx
+    if not (
+        np.array_equal(br, np.repeat(ubr, nbx))
+        and np.array_equal(bc, np.tile(ubc, nby))
+    ):
+        return None, None
+
+    slot_of_w = np.empty(nwin, np.int64)
+    slot_of_w[wpos] = np.arange(nwin)  # window position -> slot
+
+    def in_cols(M):  # (..., 2pad) -> (..., 2nwin), [F;G] blocks
+        M = np.asarray(M)
+        return np.concatenate(
+            [M[..., slot_of_w], M[..., pad + slot_of_w]], axis=-1
+        )
+
+    Pu, Pv = np.asarray(io.Pu), np.asarray(io.Pv)
+    Pul, Pvl = np.asarray(io.Pul), np.asarray(io.Pvl)
+    w_F = np.asarray(params.F_weight)[:, slot_of_w]  # (ndom, nwin)
+    m_w = np.asarray(params.m_gmi)[:, slot_of_w]
+
+    def dom_grid(A):  # (ndom, nwin) -> (1, nwin, nby, nbx)
+        return jnp.asarray(
+            A.reshape(nby, nbx, nwin).transpose(2, 0, 1)[None]
+        )
+
+    Mu = np.concatenate([in_cols(Pu[:, slot_of_w, :]), Pul[:, slot_of_w, :]], -1)
+    Mv = np.concatenate([in_cols(Pv[:, slot_of_w, :]), Pvl[:, slot_of_w, :]], -1)
+    pio = PatchIO(
+        Rw=jnp.asarray(in_cols(io.R)),
+        Mw=jnp.asarray(np.concatenate([Mu, Mv], axis=1)),
+        w_F=dom_grid(w_F),
+        m_w=dom_grid(m_w),
+    )
+    return pio, (H, W, h, sr)
+
+
+def _patch_extract(x2, H: int, W: int, h: int, s: int):
+    """(2, H*W) -> (2, h*h, nby, nbx) window-row-major patches."""
+    img = x2.reshape(1, 2, H, W)
+    pt = lax.conv_general_dilated_patches(img, (h, h), (s, s), "VALID")
+    # features ordered (channel, window-row-major): (1, 2*h*h, nby, nbx)
+    return pt.reshape(2, h * h, pt.shape[-2], pt.shape[-1])
+
+
+def _patch_combine(uv_w, H: int, W: int, h: int, s: int):
+    """Transpose of ``_patch_extract``: overlap-add back to (2, H*W).
+
+    Implemented as a 4-way parity split (valid whenever h <= 2s, the only
+    case ``_build_patch_io`` admits): blocks two apart never overlap, so
+    each (by%2, bx%2) group is a DISJOINT tiling realisable with pure
+    pad/transpose/reshape layout ops and one elementwise add per group --
+    no scatter and no input-dilated conv (the ``linear_transpose`` conv of
+    the extraction lowered to a dense 13x13x169-channel gradient conv,
+    several ms on this chip)."""
+    C = uv_w.shape[0]
+    nby, nbx = uv_w.shape[-2:]
+    S2 = 2 * s
+    P5 = jnp.transpose(uv_w, (0, 2, 3, 1)).reshape(C, nby, nbx, h, h)
+    Hp, Wp = H + 2 * S2, W + 2 * S2
+    out = jnp.zeros((C, Hp, Wp), uv_w.dtype)
+    for py in range(2):
+        for px in range(2):
+            blk = P5[:, py::2, px::2]  # (C, mby, mbx, h, h)
+            mby, mbx = blk.shape[1], blk.shape[2]
+            blk = jnp.pad(
+                blk, ((0, 0), (0, 0), (0, 0), (0, S2 - h), (0, S2 - h))
+            )
+            tile = jnp.transpose(blk, (0, 1, 3, 2, 4)).reshape(
+                C, mby * S2, mbx * S2
+            )
+            oy, ox = py * s, px * s
+            tile = jnp.pad(
+                tile,
+                (
+                    (0, 0),
+                    (oy, Hp - oy - mby * S2),
+                    (ox, Wp - ox - mbx * S2),
+                ),
+            )
+            out = out + tile
+    return out[:, :H, :W].reshape(C, H * W)
+
+
+@partial(jax.jit, static_argnames=("g_ndof", "n_lambda", "pshape", "precision"))
+def ddh_rhs_io_patch(
+    params: DDHParams,
+    io: IOMaps,
+    pio: PatchIO,
+    f: jax.Array,
+    g_ndof: int,
+    n_lambda: int,
+    pshape: tuple,
+    precision: str = "highest",
+):
+    """``ddh_rhs_io`` with the forcing gather as one patch-extraction conv."""
+    H, W, h, s = pshape
+    x2 = jnp.stack([f[:g_ndof], f[g_ndof:]]).astype(pio.w_F.dtype)
+    FG = _patch_extract(x2, H, W, h, s) * pio.w_F  # (2, nwin, nby, nbx)
+    nby, nbx = FG.shape[-2:]
+    xin = jnp.transpose(FG, (2, 3, 0, 1)).reshape(nby * nbx, -1)
+    w = _group_apply(
+        pio.Rw, xin, io.onehot, io.group, io.maj, io.spec_idx, precision=precision
+    )
+    pf = params.Hf.shape[1]
+    return _b1_scatter(params, -w[:, :pf], w[:, pf:], n_lambda, xin.dtype)
+
+
+@partial(jax.jit, static_argnames=("g_ndof", "n_own", "pshape", "precision"))
+def ddh_postprocess_io_patch(
+    params: DDHParams,
+    io: IOMaps,
+    pio: PatchIO,
+    lam: jax.Array,
+    f: jax.Array,
+    g_ndof: int,
+    n_own: int,
+    pshape: tuple,
+    precision: str = "highest",
+):
+    """``ddh_postprocess_io`` with patch-conv forcing extraction and the
+    mass-weighted global scatter as the patch transpose (overlap-add)."""
+    H, W, h, s = pshape
+    x2 = jnp.stack([f[:g_ndof], f[g_ndof:]]).astype(pio.w_F.dtype)
+    FG = _patch_extract(x2, H, W, h, s) * pio.w_F
+    nby, nbx = FG.shape[-2:]
+    xin = jnp.transpose(FG, (2, 3, 0, 1)).reshape(nby * nbx, -1)
+    n_lambda = lam.shape[0] // 2
+    lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
+    tr = jnp.concatenate([lam0, mu0], axis=1).astype(xin.dtype)
+    z = jnp.concatenate([xin, tr], axis=1)
+    uv = _group_apply(  # (ndom, 2nwin): [u_w | v_w]
+        pio.Mw, z, io.onehot, io.group, io.maj, io.spec_idx, precision=precision
+    )
+    nwin = h * h
+    uv = jnp.stack([uv[:, :nwin], uv[:, nwin:]]).reshape(2, nby, nbx, nwin)
+    uv_w = jnp.transpose(uv, (0, 3, 1, 2)) * pio.m_w
+    y2 = _patch_combine(uv_w, H, W, h, s)
+    return y2.reshape(-1)
+
+
 def _iomaps_split(inv: np.ndarray):
     """Majority-split metadata for ``_group_apply`` (None fields when no
     group covers at least half the domains)."""
@@ -1482,6 +1744,7 @@ def _group_apply(
     group: jax.Array | None = None,
     maj=None,
     spec_idx: jax.Array | None = None,
+    precision: str = "highest",
 ) -> jax.Array:
     """y[d] = M[group(d)] @ x[d].
 
@@ -1494,7 +1757,7 @@ def _group_apply(
     (memory ~ M itself there) and run one batched einsum."""
     if spec_idx is not None:
         M0 = jnp.take(M, maj, axis=0)  # dynamic single-matrix gather (tiny)
-        y = jnp.einsum("di,oi->do", x, M0, precision="highest")
+        y = jnp.einsum("di,oi->do", x, M0, precision=precision)
         if spec_idx.shape[0] > 0:
             # recurse on the special subset: the same nu-vs-count heuristic
             # then picks per-row gather (small nspec) or one-hot combine
@@ -1502,7 +1765,7 @@ def _group_apply(
             # ungated gather held 4 x 535 MB live at nx=1024/block16)
             xs = jnp.take(x, spec_idx, axis=0)
             oh = jnp.take(onehot, spec_idx, axis=1)
-            ys = _group_apply(M, xs, oh)
+            ys = _group_apply(M, xs, oh, precision=precision)
             y = y.at[spec_idx].set(
                 ys, unique_indices=True, indices_are_sorted=True
             )
@@ -1511,9 +1774,9 @@ def _group_apply(
     if 4 * nu > ndom:
         group = jnp.argmax(onehot, axis=0)  # (ndom,) static one-hot layout
         Mg = jnp.take(M, group, axis=0)
-        return jnp.einsum("doi,di->do", Mg, x, precision="highest")
-    ys = jnp.einsum("uoi,di->udo", M, x, precision="highest")
-    return jnp.einsum("udo,ud->do", ys, onehot, precision="highest")
+        return jnp.einsum("doi,di->do", Mg, x, precision=precision)
+    ys = jnp.einsum("uoi,di->udo", M, x, precision=precision)
+    return jnp.einsum("udo,ud->do", ys, onehot, precision=precision)
 
 
 def _b1_scatter(params: DDHParams, upd_l, upd_m, n_lambda: int, dtype):
@@ -2074,20 +2337,23 @@ def ddh_postprocess(
     return _scatter_solution(params, u, v, g_ndof)
 
 
-@partial(jax.jit, static_argnames=("g_ndof", "n_lambda"))
+@partial(jax.jit, static_argnames=("g_ndof", "n_lambda", "precision"))
 def ddh_rhs_io(
-    params: DDHParams, io: IOMaps, f: jax.Array, g_ndof: int, n_lambda: int
+    params: DDHParams, io: IOMaps, f: jax.Array, g_ndof: int, n_lambda: int,
+    precision: str = "highest",
 ):
     """``ddh_rhs`` via the precomputed forcing->trace map: no wave cycle
     executes (algebraically identical -- the cycle is linear in (F, G))."""
     F, G, _, _ = _forcing(params, f, None, g_ndof)
     pf = params.Hf.shape[1]
     x = jnp.concatenate([F, G], axis=1).astype(io.R.dtype)
-    w = _group_apply(io.R, x, io.onehot, io.group, io.maj, io.spec_idx)
+    w = _group_apply(
+        io.R, x, io.onehot, io.group, io.maj, io.spec_idx, precision=precision
+    )
     return _b1_scatter(params, -w[:, :pf], w[:, pf:], n_lambda, x.dtype)
 
 
-@partial(jax.jit, static_argnames=("g_ndof", "n_own"))
+@partial(jax.jit, static_argnames=("g_ndof", "n_own", "precision"))
 def ddh_postprocess_io(
     params: DDHParams,
     io: IOMaps,
@@ -2095,6 +2361,7 @@ def ddh_postprocess_io(
     f: jax.Array,
     g_ndof: int,
     n_own: int,
+    precision: str = "highest",
 ):
     """``ddh_postprocess`` via the precomputed (forcing, trace)->solution
     maps: u = Pu.[F;G] + Pul.[lam0;mu0] (likewise v), then the mass-weighted
@@ -2104,7 +2371,9 @@ def ddh_postprocess_io(
     lam0, mu0 = _read_traces(params, lam, n_lambda, n_own)
     x = jnp.concatenate([F, G], axis=1).astype(io.Pu.dtype)
     tr = jnp.concatenate([lam0, mu0], axis=1).astype(io.Pu.dtype)
-    ga = lambda M, z: _group_apply(M, z, io.onehot, io.group, io.maj, io.spec_idx)
+    ga = lambda M, z: _group_apply(
+        M, z, io.onehot, io.group, io.maj, io.spec_idx, precision=precision
+    )
     u = ga(io.Pu, x) + ga(io.Pul, tr)
     v = ga(io.Pv, x) + ga(io.Pvl, tr)
     return _scatter_solution(params, u, v, g_ndof)
